@@ -1,0 +1,13 @@
+"""Preconditioner families (Lie groups of structured Q with P = Q^T Q)."""
+from psgd_tf_tpu.groups import base, dense, diag, kron, lra, splu, xmat
+
+for _name, _mod in [
+    ("dense", dense),
+    ("diag", diag),
+    ("xmat", xmat),
+    ("splu", splu),
+    ("lra", lra),
+]:
+    base.register_flat_family(_name, _mod)
+
+__all__ = ["base", "dense", "diag", "kron", "lra", "splu", "xmat"]

@@ -1,0 +1,149 @@
+"""Low-rank-approximation (LRA / "UVd") preconditioner: Q = (I + U V^T) diag(d).
+
+Reference parity: IpUVtmatvec / update_precond_UVd_math_ /
+precond_grad_UVd_math, /root/reference/preconditioned_stochastic_gradient_descent.py:540-627.
+Unlike standard low-rank forms (diag + U U^T) this fits *both* ends of the
+Hessian spectrum, so tiny ranks (~10) work at millions of parameters
+(ref README.md:17-19).
+
+State: U, V of shape (n, r) and d of shape (n,). All compute is tall-skinny
+matvecs (O(n r)) plus two solves against the r x r Gram matrix I + V^T U
+(Woodbury identity, ref :574-579). On a sharded mesh U, V, d and the probe
+vectors row-shard together; the r-sized reductions become psums that GSPMD
+inserts automatically.
+
+Stochastic branches, functionalized with explicit PRNG keys (the reference
+uses in-place tf.Variable assigns and global RNG, ref :562, :588):
+  - with prob 0.01 rebalance the dynamic ranges of U and V;
+  - per step update *either* U or V (prob 0.5 each), each with a
+    closed-form spectral-norm-proxy step size.
+"""
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from psgd_tf_tpu.ops import linalg
+
+
+@flax.struct.dataclass
+class LRAState:
+    U: jax.Array  # (n, r)
+    V: jax.Array  # (n, r)
+    d: jax.Array  # (n,)
+
+
+def init(
+    key: jax.Array,
+    n: int,
+    rank: int = 10,
+    init_scale: float = 1.0,
+    dtype=jnp.float32,
+) -> LRAState:
+    """U, V ~ N(0, (n * r)^{-1/2}), d = init_scale (ref :687-690)."""
+    ku, kv = jax.random.split(key)
+    scale = (1.0 / (n * rank)) ** 0.5
+    return LRAState(
+        U=scale * jax.random.normal(ku, (n, rank), dtype=dtype),
+        V=scale * jax.random.normal(kv, (n, rank), dtype=dtype),
+        d=init_scale * jnp.ones((n,), dtype=dtype),
+    )
+
+
+def _ip_uvt_matvec(u: jax.Array, v: jax.Array, x: jax.Array) -> jax.Array:
+    """(I + U V^T) x (ref :540-544)."""
+    return x + u @ (v.T @ x)
+
+
+def update(
+    state: LRAState,
+    v: jax.Array,
+    h: jax.Array,
+    step: jax.Array | float = 0.01,
+    key: jax.Array | None = None,
+) -> LRAState:
+    if key is None:
+        raise ValueError("lra.update requires a PRNG key (stochastic branches)")
+    k_bal, k_uv = jax.random.split(key)
+    dtype = state.d.dtype
+    t = linalg.tiny(dtype)
+    s = jnp.asarray(step, dtype)
+
+    # 1% probability U/V dynamic-range rebalance (ref :562-567)
+    def _balance(st: LRAState) -> LRAState:
+        rho = jnp.sqrt(linalg.max_abs(st.U) / linalg.max_abs(st.V))
+        return st.replace(U=st.U / rho, V=rho * st.V)
+
+    state = jax.lax.cond(
+        jax.random.uniform(k_bal, dtype=dtype) < 0.01, _balance, lambda st: st, state
+    )
+    U, V, d = state.U, state.V, state.d
+
+    Qh = _ip_uvt_matvec(U, V, d * h)
+    Ph = d * _ip_uvt_matvec(V, U, Qh)
+
+    # Woodbury: P^{-1} v via two r x r solves (ref :574-579)
+    IpVtU = jnp.eye(U.shape[1], dtype=dtype) + V.T @ U
+    invQtv = v / d
+    invQtv = invQtv - V @ jax.scipy.linalg.solve(IpVtU.T, U.T @ invQtv)
+    invPv = invQtv - U @ jax.scipy.linalg.solve(IpVtU, V.T @ invQtv)
+    invPv = invPv / d
+
+    # diagonal update (ref :581-584)
+    nablaD = Ph * h - v * invPv
+    mu = s / (linalg.max_abs(nablaD) + t)
+    new_d = d - mu * d * nablaD
+
+    # update either U or V, not both (ref :588-615)
+    a, b = Qh, invQtv
+
+    def _update_u(U, V):
+        atV = a @ V               # (r,)
+        btV = b @ V
+        atVVt = V @ atV           # (n,)
+        btVVt = V @ btV
+        norm = jnp.sqrt(
+            jnp.abs(
+                (a @ a) * (atVVt @ atVVt)
+                + (b @ b) * (btVVt @ btVVt)
+                - 2.0 * (a @ b) * (atVVt @ btVVt)
+            )
+        )
+        mu = s / (norm + t)
+        newU = U - mu * (jnp.outer(a, atV @ IpVtU) - jnp.outer(b, btV @ IpVtU))
+        return newU, V
+
+    def _update_v(U, V):
+        atU = a @ U               # (r,)
+        btU = b @ U
+        UUta = U @ atU            # (n,)
+        UUtb = U @ btU
+        norm = jnp.sqrt(
+            jnp.abs(
+                (UUta @ UUta) * (a @ a)
+                + (UUtb @ UUtb) * (b @ b)
+                - 2.0 * (UUta @ UUtb) * (a @ b)
+            )
+        )
+        mu = s / (norm + t)
+        newV = V - mu * (jnp.outer(a + V @ atU, atU) - jnp.outer(b + V @ btU, btU))
+        return U, newV
+
+    new_U, new_V = jax.lax.cond(
+        jax.random.uniform(k_uv, dtype=dtype) < 0.5, _update_u, _update_v, U, V
+    )
+    return LRAState(U=new_U, V=new_V, d=new_d)
+
+
+def apply(state: LRAState, g: jax.Array) -> jax.Array:
+    """P g = d * (I + V U^T) (I + U V^T) (d * g)  (ref :619-627)."""
+    x = _ip_uvt_matvec(state.U, state.V, state.d * g)
+    return state.d * _ip_uvt_matvec(state.V, state.U, x)
+
+
+def materialize(state: LRAState) -> jax.Array:
+    """Dense P = Q^T Q for tests only."""
+    n = state.d.shape[0]
+    q = (jnp.eye(n, dtype=state.d.dtype) + state.U @ state.V.T) @ jnp.diag(state.d)
+    return q.T @ q

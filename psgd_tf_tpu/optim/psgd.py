@@ -1,0 +1,301 @@
+"""The unified PSGD optimizer.
+
+One functional optimizer for *every* preconditioner family — the reference
+only wraps UVd in a class and leaves dense/kron/splu as free functions each
+demo re-plumbs by hand (SURVEY.md §1). API shape:
+
+    opt = PSGD(preconditioner="lra", rank=10, lr_params=0.01, ...)
+    state = opt.init(params, key)
+    params, state, aux = opt.step(loss_fn, params, state, key, *batch)
+
+`step` is pure and jittable: `jax.jit(partial(opt.step, loss_fn))` (or under
+an outer jit). All reference hyper-knobs are preserved
+(/root/reference/preconditioned_stochastic_gradient_descent.py:663-680):
+lr_params, lr_preconditioner, grad_clip_max_norm (inf sentinel = off),
+preconditioner_update_probability, exact_hessian_vector_product. The first
+four live in the state as traced scalars, so they can be rescheduled
+mid-run without recompiling (the reference's `.assign` mutability feature,
+ref :660-661, rnn_xor_UVd_preconditioner.py:62-69) — use `opt.set_hyper`.
+`exact_hessian_vector_product` changes the autodiff graph, so it is static;
+flipping it triggers one recompile (both variants stay cached).
+
+Families: 'dense', 'diag', 'xmat', 'splu', 'lra' operate on the flattened
+parameter vector; 'kron' keeps one (Ql, Qr) pair per parameter tensor with
+static per-tensor formats.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Literal, Sequence
+
+import flax.struct
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+
+from psgd_tf_tpu import hvp
+from psgd_tf_tpu.groups import dense, diag, kron, lra, splu, xmat
+from psgd_tf_tpu.ops import linalg
+
+PyTree = Any
+
+_FLAT_FAMILIES = {
+    "dense": dense,
+    "diag": diag,
+    "xmat": xmat,
+    "splu": splu,
+    "lra": lra,
+}
+
+
+@flax.struct.dataclass
+class Hyper:
+    """Runtime-mutable hyperparameters (traced scalars; ref :673-680)."""
+
+    lr_params: jax.Array
+    lr_preconditioner: jax.Array
+    grad_clip_max_norm: jax.Array  # inf = no clipping (ref :676)
+    update_probability: jax.Array
+
+
+@flax.struct.dataclass
+class PSGDState:
+    count: jax.Array
+    hyper: Hyper
+    precond: Any  # family state (flat families) or list[KronState] (kron)
+
+
+@dataclasses.dataclass(frozen=True)
+class PSGD:
+    preconditioner: Literal["dense", "diag", "xmat", "splu", "lra", "kron"] = "lra"
+    rank: int = 10                      # splu corner / lra rank (ref :663)
+    init_scale: float = 1.0             # initial Q scale (ref :637)
+    lr_params: float = 0.01
+    lr_preconditioner: float = 0.01
+    grad_clip_max_norm: float | None = None
+    preconditioner_update_probability: float = 1.0
+    exact_hessian_vector_product: bool = True
+    kron_formats: Any = "auto"          # 'auto' | (fmt_l, fmt_r) | callable(shape)->pair
+    dtype: Any = jnp.float32
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, params: PyTree, key: jax.Array | None = None) -> PSGDState:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        hyper = Hyper(
+            lr_params=jnp.asarray(self.lr_params, self.dtype),
+            lr_preconditioner=jnp.asarray(self.lr_preconditioner, self.dtype),
+            grad_clip_max_norm=jnp.asarray(
+                jnp.inf if self.grad_clip_max_norm is None else self.grad_clip_max_norm,
+                self.dtype,
+            ),
+            update_probability=jnp.asarray(
+                self.preconditioner_update_probability, self.dtype
+            ),
+        )
+        if self.preconditioner == "kron":
+            precond = self._init_kron(params)
+        else:
+            n = int(
+                sum(leaf.size for leaf in jax.tree_util.tree_leaves(params))
+            )
+            fam = _FLAT_FAMILIES[self.preconditioner]
+            if self.preconditioner == "lra":
+                precond = fam.init(key, n, rank=self.rank, init_scale=self.init_scale, dtype=self.dtype)
+            elif self.preconditioner == "splu":
+                precond = fam.init(n, rank=self.rank, init_scale=self.init_scale, dtype=self.dtype)
+            else:
+                precond = fam.init(n, init_scale=self.init_scale, dtype=self.dtype)
+        return PSGDState(count=jnp.zeros((), jnp.int32), hyper=hyper, precond=precond)
+
+    def _leaf_format(self, shape: tuple[int, int]):
+        if self.kron_formats == "auto":
+            return kron.auto_format(shape)
+        if callable(self.kron_formats):
+            return self.kron_formats(shape)
+        return self.kron_formats
+
+    def _init_kron(self, params: PyTree) -> list[kron.KronState]:
+        leaves = jax.tree_util.tree_leaves(params)
+        return [
+            kron.init(
+                _matrix_shape(leaf.shape),
+                fmt=self._leaf_format(_matrix_shape(leaf.shape)),
+                init_scale=self.init_scale,
+                dtype=self.dtype,
+            )
+            for leaf in leaves
+        ]
+
+    # ------------------------------------------------------------------ step
+
+    def step(
+        self,
+        loss_fn: Callable,
+        params: PyTree,
+        state: PSGDState,
+        key: jax.Array,
+        *args,
+    ) -> tuple[PyTree, PSGDState, dict[str, jax.Array]]:
+        """One PSGD step: maybe-update Q, precondition, clip, descend."""
+        k_coin, k_probe, k_prec = jax.random.split(key, 3)
+        hyper = state.hyper
+
+        if self.preconditioner == "kron":
+            step_with, step_without = self._kron_branches(
+                loss_fn, params, state, k_probe, k_prec, args
+            )
+        else:
+            step_with, step_without = self._flat_branches(
+                loss_fn, params, state, k_probe, k_prec, args
+            )
+
+        if self.preconditioner_update_probability >= 1.0:
+            # Statically always-update: skip the coin-flip cond so the loss
+            # graph compiles once, not twice. Consequence: scheduling
+            # update_probability via set_hyper only takes effect when the
+            # optimizer was constructed with a probability < 1.0.
+            loss, grads, precond = step_with(None)
+        else:
+            do_update = (
+                jax.random.uniform(k_coin, dtype=self.dtype)
+                < hyper.update_probability
+            )
+            loss, grads, precond = jax.lax.cond(
+                do_update, step_with, step_without, None
+            )
+
+        pre_grads = self._apply(precond, grads, params)
+
+        # global-norm clipping (ref :750-754, mnist_with_lenet5.py:54-55)
+        sq = sum(
+            jnp.sum(g * g) for g in jax.tree_util.tree_leaves(pre_grads)
+        )
+        pre_grad_norm = jnp.sqrt(sq) + linalg.tiny(self.dtype)
+        lr = hyper.lr_params * linalg.norm_clip_scale(
+            pre_grad_norm, hyper.grad_clip_max_norm
+        )
+
+        new_params = jax.tree_util.tree_map(
+            lambda p, g: p - lr * g.astype(p.dtype), params, pre_grads
+        )
+        new_state = PSGDState(
+            count=state.count + 1, hyper=hyper, precond=precond
+        )
+        aux = {
+            "loss": loss,
+            "pre_grad_norm": pre_grad_norm,
+            "lr_effective": lr,
+        }
+        return new_params, new_state, aux
+
+    # ------------------------------------------------- flat-family internals
+
+    def _flat_branches(self, loss_fn, params, state, k_probe, k_prec, args):
+        fam = _FLAT_FAMILIES[self.preconditioner]
+        hyper = state.hyper
+        flat0, unravel = jax.flatten_util.ravel_pytree(params)
+
+        def step_with(_):
+            v_flat = jax.random.normal(k_probe, flat0.shape, self.dtype)
+            v = unravel(v_flat)
+            if self.exact_hessian_vector_product:
+                loss, grads, hvs = hvp.exact(loss_fn, params, v, *args)
+            else:
+                loss, grads, hvs = hvp.finite_diff(loss_fn, params, v, *args)
+            h_flat = jax.flatten_util.ravel_pytree(hvs)[0]
+            precond = fam.update(
+                state.precond, v_flat, h_flat,
+                step=hyper.lr_preconditioner, key=k_prec,
+            )
+            return loss, grads, precond
+
+        def step_without(_):
+            loss, grads = hvp.grad_only(loss_fn, params, *args)
+            return loss, grads, state.precond
+
+        return step_with, step_without
+
+    # -------------------------------------------------------- kron internals
+
+    def _kron_branches(self, loss_fn, params, state, k_probe, k_prec, args):
+        hyper = state.hyper
+        treedef = jax.tree_util.tree_structure(params)
+
+        def step_with(_):
+            v = hvp.random_like(k_probe, params)
+            if self.exact_hessian_vector_product:
+                loss, grads, hvs = hvp.exact(loss_fn, params, v, *args)
+            else:
+                loss, grads, hvs = hvp.finite_diff(loss_fn, params, v, *args)
+            v_leaves = treedef.flatten_up_to(v)
+            h_leaves = treedef.flatten_up_to(hvs)
+            precond = [
+                kron.update(
+                    ks,
+                    _as_matrix(vl),
+                    _as_matrix(hl),
+                    step=hyper.lr_preconditioner,
+                )
+                for ks, vl, hl in zip(state.precond, v_leaves, h_leaves)
+            ]
+            return loss, grads, precond
+
+        def step_without(_):
+            loss, grads = hvp.grad_only(loss_fn, params, *args)
+            return loss, grads, state.precond
+
+        return step_with, step_without
+
+    # ----------------------------------------------------------------- apply
+
+    def _apply(self, precond, grads, params):
+        if self.preconditioner == "kron":
+            treedef = jax.tree_util.tree_structure(params)
+            g_leaves = treedef.flatten_up_to(grads)
+            pre = [
+                kron.apply(ks, _as_matrix(g)).reshape(g.shape)
+                for ks, g in zip(precond, g_leaves)
+            ]
+            return jax.tree_util.tree_unflatten(treedef, pre)
+        fam = _FLAT_FAMILIES[self.preconditioner]
+        g_flat, unravel = jax.flatten_util.ravel_pytree(grads)
+        return unravel(fam.apply(precond, g_flat))
+
+    # ----------------------------------------------------------------- hyper
+
+    @staticmethod
+    def set_hyper(state: PSGDState, **kwargs) -> PSGDState:
+        """Reschedule hyperparameters mid-run without recompiling
+        (the reference's `.assign` feature, ref :660-661)."""
+        hyper = state.hyper
+        for name, value in kwargs.items():
+            field_val = getattr(hyper, name)
+            hyper = hyper.replace(
+                **{name: jnp.asarray(value, field_val.dtype)}
+            )
+        return state.replace(hyper=hyper)
+
+
+def _matrix_shape(shape: Sequence[int]) -> tuple[int, int]:
+    """Canonical 2-D shape for the kron family: scalars -> (1, 1),
+    vectors -> (n, 1), higher-rank tensors fold leading dims
+    (the reference's demos do this packing by hand, e.g.
+    mnist_with_lenet5.py:12-16 lays conv kernels out as
+    (H*W*Cin + 1, Cout) matrices)."""
+    shape = tuple(shape)
+    if len(shape) == 0:
+        return (1, 1)
+    if len(shape) == 1:
+        return (shape[0], 1)
+    if len(shape) == 2:
+        return shape
+    size = 1
+    for s in shape[:-1]:
+        size *= s
+    return (size, shape[-1])
+
+
+def _as_matrix(x: jax.Array) -> jax.Array:
+    return x.reshape(_matrix_shape(x.shape))
