@@ -1,0 +1,200 @@
+"""MNIST-style 28x28 digit classification data.
+
+Two sources behind one (images, labels) contract:
+
+  - `load_idx(dir)` reads the real MNIST idx files when a local copy exists
+    (the reference pulls MNIST through keras,
+    /root/reference/mnist_with_lenet5.py:36-41; hermetic TPU pods have no
+    egress, so the files must be pre-staged).
+  - `synthetic(key, n)` procedurally renders digits from glyph bitmaps with
+    random shift / amplitude / noise augmentation — a drop-in, fully
+    deterministic stand-in that a LeNet5 must still learn conv features
+    for. Used by the workload suite and benchmarks.
+
+Both return images in (n, 28, 28, 1) float32 in [0, 1] and int32 labels,
+the NHWC layout XLA:TPU natively tiles.
+"""
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_GLYPHS_TXT = [
+    # 8x8 glyphs, '#' = ink
+    [
+        " ####   ",
+        "##  ##  ",
+        "##  ##  ",
+        "##  ##  ",
+        "##  ##  ",
+        "##  ##  ",
+        " ####   ",
+        "        ",
+    ],
+    [
+        "  ##    ",
+        " ###    ",
+        "  ##    ",
+        "  ##    ",
+        "  ##    ",
+        "  ##    ",
+        " ####   ",
+        "        ",
+    ],
+    [
+        " ####   ",
+        "##  ##  ",
+        "    ##  ",
+        "   ##   ",
+        "  ##    ",
+        " ##     ",
+        "######  ",
+        "        ",
+    ],
+    [
+        " ####   ",
+        "##  ##  ",
+        "    ##  ",
+        "  ###   ",
+        "    ##  ",
+        "##  ##  ",
+        " ####   ",
+        "        ",
+    ],
+    [
+        "   ###  ",
+        "  ####  ",
+        " ## ##  ",
+        "##  ##  ",
+        "######  ",
+        "    ##  ",
+        "    ##  ",
+        "        ",
+    ],
+    [
+        "######  ",
+        "##      ",
+        "#####   ",
+        "    ##  ",
+        "    ##  ",
+        "##  ##  ",
+        " ####   ",
+        "        ",
+    ],
+    [
+        " ####   ",
+        "##      ",
+        "##      ",
+        "#####   ",
+        "##  ##  ",
+        "##  ##  ",
+        " ####   ",
+        "        ",
+    ],
+    [
+        "######  ",
+        "    ##  ",
+        "   ##   ",
+        "   ##   ",
+        "  ##    ",
+        "  ##    ",
+        "  ##    ",
+        "        ",
+    ],
+    [
+        " ####   ",
+        "##  ##  ",
+        "##  ##  ",
+        " ####   ",
+        "##  ##  ",
+        "##  ##  ",
+        " ####   ",
+        "        ",
+    ],
+    [
+        " ####   ",
+        "##  ##  ",
+        "##  ##  ",
+        " #####  ",
+        "    ##  ",
+        "    ##  ",
+        " ####   ",
+        "        ",
+    ],
+]
+
+
+def _glyph_bank() -> np.ndarray:
+    """(10, 24, 24) float glyphs: 8x8 bitmaps upsampled x3 with a soft edge."""
+    g = np.array(
+        [[[1.0 if c == "#" else 0.0 for c in row] for row in glyph] for glyph in _GLYPHS_TXT],
+        dtype=np.float32,
+    )
+    g = np.repeat(np.repeat(g, 3, axis=1), 3, axis=2)  # (10, 24, 24)
+    # soft edges: 3x3 box blur so augmentation shifts create sub-ink gradients
+    k = np.ones((3, 3), np.float32) / 9.0
+    out = np.zeros_like(g)
+    padded = np.pad(g, ((0, 0), (1, 1), (1, 1)))
+    for dy in range(3):
+        for dx in range(3):
+            out += k[dy, dx] * padded[:, dy : dy + 24, dx : dx + 24]
+    return out
+
+
+_BANK = jnp.asarray(np.pad(_glyph_bank(), ((0, 0), (2, 2), (2, 2))))  # (10, 28, 28)
+
+
+def synthetic(
+    key: jax.Array, n: int, dtype=jnp.float32
+) -> tuple[jax.Array, jax.Array]:
+    """n augmented digit images: random shift (±3 px), contrast, noise."""
+    k_lab, k_dy, k_dx, k_amp, k_noise = jax.random.split(key, 5)
+    labels = jax.random.randint(k_lab, (n,), 0, 10)
+    imgs = _BANK[labels]  # (n, 28, 28)
+    dy = jax.random.randint(k_dy, (n,), -3, 4)
+    dx = jax.random.randint(k_dx, (n,), -3, 4)
+    # static-shape batched shift: roll via gather on shifted indices
+    rows = (jnp.arange(28)[None, :] - dy[:, None]) % 28
+    cols = (jnp.arange(28)[None, :] - dx[:, None]) % 28
+    imgs = jax.vmap(lambda im, r, c: im[r][:, c])(imgs, rows, cols)
+    amp = jax.random.uniform(k_amp, (n, 1, 1), minval=0.7, maxval=1.0)
+    noise = 0.08 * jax.random.normal(k_noise, imgs.shape)
+    imgs = jnp.clip(amp * imgs + noise, 0.0, 1.0).astype(dtype)
+    return imgs[..., None], labels.astype(jnp.int32)
+
+
+def load_idx(data_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Read pre-staged MNIST idx(.gz) files: returns (x_train, y_train,
+    x_test, y_test) with images (n, 28, 28, 1) float32 in [0, 1]."""
+
+    def _open(name):
+        for fname in (name, name + ".gz"):
+            path = os.path.join(data_dir, fname)
+            if os.path.exists(path):
+                return gzip.open(path, "rb") if fname.endswith(".gz") else open(path, "rb")
+        raise FileNotFoundError(f"{name}[.gz] not in {data_dir}")
+
+    def _images(name):
+        with _open(name) as f:
+            magic, n, rows, cols = struct.unpack(">IIII", f.read(16))
+            assert magic == 2051, f"bad idx magic {magic}"
+            buf = np.frombuffer(f.read(n * rows * cols), dtype=np.uint8)
+        return (buf.reshape(n, rows, cols, 1) / 255.0).astype(np.float32)
+
+    def _labels(name):
+        with _open(name) as f:
+            magic, n = struct.unpack(">II", f.read(8))
+            assert magic == 2049, f"bad idx magic {magic}"
+            return np.frombuffer(f.read(n), dtype=np.uint8).astype(np.int32)
+
+    return (
+        _images("train-images-idx3-ubyte"),
+        _labels("train-labels-idx1-ubyte"),
+        _images("t10k-images-idx3-ubyte"),
+        _labels("t10k-labels-idx1-ubyte"),
+    )

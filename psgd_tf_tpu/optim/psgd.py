@@ -76,6 +76,9 @@ class PSGD:
     preconditioner_update_probability: float = 1.0
     exact_hessian_vector_product: bool = True
     kron_formats: Any = "auto"          # 'auto' | (fmt_l, fmt_r) | callable(shape)->pair
+    #                                   # | [per-leaf (fmt_l, fmt_r), ...] in tree-leaf
+    #                                   # order (the reference's per-layer mixed
+    #                                   # assignment, e.g. nmt ref :99-148)
     dtype: Any = jnp.float32
 
     # ------------------------------------------------------------------ init
@@ -109,23 +112,31 @@ class PSGD:
                 precond = fam.init(n, init_scale=self.init_scale, dtype=self.dtype)
         return PSGDState(count=jnp.zeros((), jnp.int32), hyper=hyper, precond=precond)
 
-    def _leaf_format(self, shape: tuple[int, int]):
-        if self.kron_formats == "auto":
+    def _leaf_format(self, shape: tuple[int, int], index: int, n_leaves: int):
+        if isinstance(self.kron_formats, str) and self.kron_formats == "auto":
             return kron.auto_format(shape)
         if callable(self.kron_formats):
             return self.kron_formats(shape)
-        return self.kron_formats
+        fmts = list(self.kron_formats)
+        if fmts and not isinstance(fmts[0], str):  # per-leaf list of pairs
+            if len(fmts) != n_leaves:
+                raise ValueError(
+                    f"kron_formats lists {len(fmts)} pairs for {n_leaves} "
+                    "parameter tensors"
+                )
+            return fmts[index]
+        return tuple(fmts)
 
     def _init_kron(self, params: PyTree) -> list[kron.KronState]:
         leaves = jax.tree_util.tree_leaves(params)
         return [
             kron.init(
                 _matrix_shape(leaf.shape),
-                fmt=self._leaf_format(_matrix_shape(leaf.shape)),
+                fmt=self._leaf_format(_matrix_shape(leaf.shape), i, len(leaves)),
                 init_scale=self.init_scale,
                 dtype=self.dtype,
             )
-            for leaf in leaves
+            for i, leaf in enumerate(leaves)
         ]
 
     # ------------------------------------------------------------------ step

@@ -1,0 +1,72 @@
+"""Sharding policies: where each piece of PSGD state lives on the mesh.
+
+Per SURVEY.md §2.4, the one real distributed-design problem this library
+owns is block-partitioning the preconditioner state itself:
+
+  dense  : Q rows over `shard` (the O(n^2) state).
+  diag   : q over `shard`.
+  xmat   : a, b over `shard`. NOTE — Q x couples index i with n-1-i, so the
+           update needs `flip` = a mesh-wide reverse; GSPMD lowers it to a
+           collective-permute ring pass on ICI.
+  splu   : L12 rows / U12 cols and the diagonal tails over `shard`; the
+           r x r corner solves replicate (all_gather of r-vectors).
+  lra    : U, V, d rows over `shard`; the r x r Grams (V^T U etc.) become
+           psum-reduced tall-skinny matmuls.
+  kron   : per-layer factors replicate (they are small by design — the
+           README's own capacity table caps dense factors at ~1e3); the
+           *batch* axis carries the parallelism for those workloads.
+
+Parameters and gradients replicate (pure DP); batches shard over `data`.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from psgd_tf_tpu.groups import dense, diag, lra, splu, xmat
+from psgd_tf_tpu.optim.psgd import PSGDState
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis over `data`."""
+    return NamedSharding(mesh, P("data"))
+
+
+def precond_sharding(mesh: Mesh, precond: Any) -> Any:
+    """A pytree of NamedShardings matching a family state's structure."""
+    row = NamedSharding(mesh, P("shard"))
+    rowmat = NamedSharding(mesh, P("shard", None))
+    colmat = NamedSharding(mesh, P(None, "shard"))
+    rep = replicated(mesh)
+
+    if isinstance(precond, dense.DenseState):
+        return dense.DenseState(Q=rowmat)
+    if isinstance(precond, diag.DiagState):
+        return diag.DiagState(q=row)
+    if isinstance(precond, xmat.XMatState):
+        return xmat.XMatState(a=row, b=row)
+    if isinstance(precond, splu.SpLUState):
+        return splu.SpLUState(L12=rowmat, l3=row, U12=colmat, u3=row)
+    if isinstance(precond, lra.LRAState):
+        return lra.LRAState(U=rowmat, V=rowmat, d=row)
+    if isinstance(precond, (list, tuple)):  # kron: replicate every factor
+        return type(precond)(
+            jax.tree_util.tree_map(lambda _: rep, ks) for ks in precond
+        )
+    raise TypeError(f"no sharding policy for {type(precond)!r}")
+
+
+def state_sharding(mesh: Mesh, state: PSGDState) -> PSGDState:
+    """Shardings for the full PSGDState pytree."""
+    rep = replicated(mesh)
+    return PSGDState(
+        count=rep,
+        hyper=jax.tree_util.tree_map(lambda _: rep, state.hyper),
+        precond=precond_sharding(mesh, state.precond),
+    )
