@@ -12,9 +12,8 @@ works after `jax.distributed.initialize()`.
 """
 from __future__ import annotations
 
-import numpy as np
 import jax
-from jax.sharding import Mesh
+from jax.sharding import AxisType, Mesh
 
 
 def make_mesh(
@@ -22,7 +21,15 @@ def make_mesh(
     shard: int = 1,
     devices=None,
 ) -> Mesh:
-    """Build a (data, shard) mesh. `data=None` uses all remaining devices."""
+    """Build a (data, shard) mesh. `data=None` uses all remaining devices.
+
+    Axes are `AxisType.Auto` (GSPMD propagation): the library annotates
+    state shardings at jit boundaries and XLA propagates through the
+    preconditioner algebra, inserting collectives where contractions cross
+    the `shard` axis. (jax 0.9's default Explicit mode would instead demand
+    `out_sharding` at every ambiguous contraction inside the family
+    kernels.)
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
@@ -31,4 +38,9 @@ def make_mesh(
         data = n // shard
     if data * shard > n:
         raise ValueError(f"mesh {data}x{shard} needs {data * shard} devices, have {n}")
-    return jax.make_mesh((data, shard), ("data", "shard"), devices=devices[: data * shard])
+    return jax.make_mesh(
+        (data, shard),
+        ("data", "shard"),
+        axis_types=(AxisType.Auto, AxisType.Auto),
+        devices=devices[: data * shard],
+    )

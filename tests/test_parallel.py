@@ -1,0 +1,116 @@
+"""Sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4c):
+sharded-vs-single-device equivalence of each preconditioner family's
+update/apply, and the full sharded training step."""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import psgd_tf_tpu as psgd
+from psgd_tf_tpu.groups import base
+from psgd_tf_tpu.models import nmt
+from psgd_tf_tpu.data import translation
+from psgd_tf_tpu.parallel import (
+    build_sharded_step,
+    make_mesh,
+    precond_sharding,
+    state_sharding,
+)
+
+N = 64
+RANK = 4
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(data=2, shard=4)
+
+
+def _flat_state(family, key):
+    fam = base.FLAT_FAMILIES[family]
+    if family == "lra":
+        return fam, fam.init(key, N, rank=RANK)
+    if family == "splu":
+        return fam, fam.init(N, rank=RANK)
+    return fam, fam.init(N)
+
+
+@pytest.mark.parametrize("family", ["dense", "diag", "xmat", "splu", "lra"])
+def test_sharded_update_apply_matches_single_device(family, mesh):
+    key = jax.random.PRNGKey(0)
+    fam, state = _flat_state(family, key)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (N,))
+    h = jax.random.normal(jax.random.fold_in(key, 2), (N,))
+    g = jax.random.normal(jax.random.fold_in(key, 3), (N,))
+    k_up = jax.random.fold_in(key, 4)
+
+    def update_apply(state, v, h, g, k):
+        st = fam.update(state, v, h, step=0.05, key=k)
+        return st, fam.apply(st, g)
+
+    ref_state, ref_out = jax.jit(update_apply)(state, v, h, g, k_up)
+
+    sh = precond_sharding(mesh, state)
+    vec_sh = NamedSharding(mesh, P("shard"))
+    sharded = jax.jit(
+        update_apply,
+        in_shardings=(sh, vec_sh, vec_sh, vec_sh, NamedSharding(mesh, P())),
+        out_shardings=(sh, vec_sh),
+    )
+    got_state, got_out = sharded(
+        jax.device_put(state, sh),
+        jax.device_put(v, vec_sh),
+        jax.device_put(h, vec_sh),
+        jax.device_put(g, vec_sh),
+        k_up,
+    )
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out), rtol=2e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(got_state), jax.tree_util.tree_leaves(ref_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("family", ["lra", "kron"])
+def test_sharded_full_step_matches_single_device(family, mesh):
+    cfg = nmt.Config(vocab_src=16, vocab_tgt=16, embed=8, units=16, attn=4)
+    key = jax.random.PRNGKey(0)
+    params = nmt.init(key, cfg)
+    src, tgt = translation.batch(
+        jax.random.fold_in(key, 1), 16, 8, content_vocab=13
+    )
+    kwargs = dict(lr_params=0.01, lr_preconditioner=0.01, grad_clip_max_norm=1.0)
+    if family == "kron":
+        opt = psgd.PSGD(preconditioner="kron", kron_formats=nmt.kron_formats(cfg), **kwargs)
+    else:
+        opt = psgd.PSGD(preconditioner="lra", rank=RANK, **kwargs)
+    state = opt.init(params, jax.random.fold_in(key, 2))
+    k_step = jax.random.fold_in(key, 3)
+
+    ref_params, ref_state, ref_aux = jax.jit(partial(opt.step, nmt.loss))(
+        params, state, k_step, src, tgt
+    )
+
+    step = build_sharded_step(opt, nmt.loss, mesh, state, params, donate=False)
+    got_params, got_state, got_aux = step(params, state, k_step, src, tgt)
+
+    np.testing.assert_allclose(
+        float(got_aux["loss"]), float(ref_aux["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(got_params), jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+
+
+def test_state_sharding_structure(mesh):
+    opt = psgd.PSGD(preconditioner="lra", rank=2)
+    state = opt.init({"w": jnp.zeros((10,))}, jax.random.PRNGKey(0))
+    sh = state_sharding(mesh, state)
+    assert sh.precond.U.spec == P("shard", None)
+    assert sh.precond.d.spec == P("shard")
+    assert sh.hyper.lr_params.spec == P()
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(data=5, shard=3)
