@@ -15,7 +15,7 @@ Public surface:
     hyperparameter surface.
   - parallel: mesh/sharding policies for multi-chip state partitioning.
 """
-from psgd_tf_tpu import hvp
+from psgd_tf_tpu import hvp, utils
 from psgd_tf_tpu.groups import dense, diag, kron, lra, splu, xmat
 from psgd_tf_tpu.optim.psgd import PSGD, PSGDState, Hyper
 
@@ -26,6 +26,7 @@ __all__ = [
     "PSGDState",
     "Hyper",
     "hvp",
+    "utils",
     "dense",
     "diag",
     "kron",

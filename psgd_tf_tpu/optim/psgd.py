@@ -177,7 +177,8 @@ class PSGD:
                 do_update, step_with, step_without, None
             )
 
-        pre_grads = self._apply(precond, grads, params)
+        with jax.named_scope("psgd_apply"):
+            pre_grads = self._apply(precond, grads, params)
 
         # global-norm clipping (ref :750-754, mnist_with_lenet5.py:54-55)
         sq = sum(
@@ -194,8 +195,12 @@ class PSGD:
         new_state = PSGDState(
             count=state.count + 1, hyper=hyper, precond=precond
         )
+        grad_sq = sum(
+            jnp.sum(g * g) for g in jax.tree_util.tree_leaves(grads)
+        )
         aux = {
             "loss": loss,
+            "grad_norm": jnp.sqrt(grad_sq),
             "pre_grad_norm": pre_grad_norm,
             "lr_effective": lr,
         }
@@ -211,15 +216,17 @@ class PSGD:
         def step_with(_):
             v_flat = jax.random.normal(k_probe, flat0.shape, self.dtype)
             v = unravel(v_flat)
-            if self.exact_hessian_vector_product:
-                loss, grads, hvs = hvp.exact(loss_fn, params, v, *args)
-            else:
-                loss, grads, hvs = hvp.finite_diff(loss_fn, params, v, *args)
+            with jax.named_scope("psgd_hvp"):
+                if self.exact_hessian_vector_product:
+                    loss, grads, hvs = hvp.exact(loss_fn, params, v, *args)
+                else:
+                    loss, grads, hvs = hvp.finite_diff(loss_fn, params, v, *args)
             h_flat = jax.flatten_util.ravel_pytree(hvs)[0]
-            precond = fam.update(
-                state.precond, v_flat, h_flat,
-                step=hyper.lr_preconditioner, key=k_prec,
-            )
+            with jax.named_scope("psgd_q_update"):
+                precond = fam.update(
+                    state.precond, v_flat, h_flat,
+                    step=hyper.lr_preconditioner, key=k_prec,
+                )
             return loss, grads, precond
 
         def step_without(_):
@@ -236,21 +243,23 @@ class PSGD:
 
         def step_with(_):
             v = hvp.random_like(k_probe, params)
-            if self.exact_hessian_vector_product:
-                loss, grads, hvs = hvp.exact(loss_fn, params, v, *args)
-            else:
-                loss, grads, hvs = hvp.finite_diff(loss_fn, params, v, *args)
+            with jax.named_scope("psgd_hvp"):
+                if self.exact_hessian_vector_product:
+                    loss, grads, hvs = hvp.exact(loss_fn, params, v, *args)
+                else:
+                    loss, grads, hvs = hvp.finite_diff(loss_fn, params, v, *args)
             v_leaves = treedef.flatten_up_to(v)
             h_leaves = treedef.flatten_up_to(hvs)
-            precond = [
-                kron.update(
-                    ks,
-                    _as_matrix(vl),
-                    _as_matrix(hl),
-                    step=hyper.lr_preconditioner,
-                )
-                for ks, vl, hl in zip(state.precond, v_leaves, h_leaves)
-            ]
+            with jax.named_scope("psgd_q_update"):
+                precond = [
+                    kron.update(
+                        ks,
+                        _as_matrix(vl),
+                        _as_matrix(hl),
+                        step=hyper.lr_preconditioner,
+                    )
+                    for ks, vl, hl in zip(state.precond, v_leaves, h_leaves)
+                ]
             return loss, grads, precond
 
         def step_without(_):
