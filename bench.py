@@ -45,7 +45,10 @@ def time_fn(fn, *args, iters: int = 50, warmup: int = 2):
     return sorted(times)[1]
 
 
-def bench_lenet5_steps_per_sec(batch_size: int = 64) -> float:
+def bench_lenet5_steps_per_sec(batch_size: int = 64, chain: int = 200) -> float:
+    """Steps/sec of the full PSGD training step, measured as a
+    scan-compiled training loop over pre-generated batches — the realistic
+    compiled-training shape on TPU, and robust to host-dispatch latency."""
     from psgd_tf_tpu import PSGD
     from psgd_tf_tpu.data import mnist
     from psgd_tf_tpu.models import lenet5
@@ -61,15 +64,34 @@ def bench_lenet5_steps_per_sec(batch_size: int = 64) -> float:
         grad_clip_max_norm=0.1 * num_params**0.5,
     )
     state = opt.init(params, key)
-    x, y = mnist.synthetic(key, batch_size)
-    step = jax.jit(partial(opt.step, lenet5.loss))
+    xs, ys = mnist.synthetic(key, batch_size * 8)
+    xs = xs.reshape(8, batch_size, 28, 28, 1)
+    ys = ys.reshape(8, batch_size)
 
-    def one(params, state, key, x, y):
-        p, s, aux = step(params, state, key, x, y)
-        return aux["loss"]
+    @jax.jit
+    def train(params, state, key):
+        def body(carry, i):
+            params, state, key = carry
+            key, sub = jax.random.split(key)
+            p, s, aux = opt.step(
+                lenet5.loss, params, state, sub, xs[i % 8], ys[i % 8]
+            )
+            return (p, s, key), aux["loss"]
 
-    dt = time_fn(one, params, state, key, x, y, iters=100)
-    return 1.0 / dt
+        (params, state, _), losses = jax.lax.scan(
+            body, (params, state, key), jnp.arange(chain)
+        )
+        return params, state, losses[-1]
+
+    out = train(params, state, key)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = train(params, state, key)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / chain)
+    return 1.0 / sorted(times)[1]
 
 
 def bench_family_nnz_per_sec(family: str, n: int, rank: int = 10) -> float:

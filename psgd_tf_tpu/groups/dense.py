@@ -40,9 +40,22 @@ def update(
     step: jax.Array | float = 0.01,
     key: jax.Array | None = None,
 ) -> DenseState:
-    """One Lie-group step fitting Q to the curvature pair (v, h)."""
+    """One Lie-group step fitting Q to the curvature pair (v, h).
+
+    On TPU backends with n within the VMEM cap, the whole update runs as
+    one fused Pallas launch (ops/pallas/dense_upd.py); elsewhere the XLA
+    path below (rank-2 cumsum formulation, O(n^2)) applies.
+    """
     del key  # deterministic family
+    from psgd_tf_tpu.ops import pallas as pallas_ops  # late: avoid cycle
+
     q = state.Q
+    n = q.shape[0]
+    if pallas_ops.enabled() and n <= pallas_ops.dense_upd.MAX_N:
+        new_q = pallas_ops.dense_upd.fused_update(
+            q, v, h, step, linalg.tiny(q.dtype)
+        )
+        return DenseState(Q=new_q)
     a = q @ h
     b = linalg.solve_ut_t(q, v)
     step0 = jnp.asarray(step, q.dtype) / (

@@ -247,12 +247,18 @@ def update(
     key: jax.Array | None = None,
 ) -> KronState:
     del key
+    from psgd_tf_tpu.ops import pallas as pallas_ops  # late: avoid cycle
+
     ql, qr, fmt = state.ql, state.qr, state.fmt
     t = linalg.tiny(jnp.result_type(ql))
     s = jnp.asarray(step, jnp.result_type(ql))
 
     if fmt == ("dense", "dense"):
-        ql, qr = _update_dd(ql, qr, dX, dG, s, t)
+        if pallas_ops.enabled() and max(dX.shape) <= pallas_ops.kron_dd.MAX_SIDE:
+            # fused one-launch TPU kernel (ops/pallas/kron_dd.py)
+            ql, qr = pallas_ops.kron_dd.fused_update(ql, qr, dX, dG, s, t)
+        else:
+            ql, qr = _update_dd(ql, qr, dX, dG, s, t)
     elif fmt == ("norm", "dense"):
         ql, qr = _update_nd(ql, qr, dX, dG, s, t)
     elif fmt == ("dense", "norm"):      # mirror of (norm, dense), ref :86

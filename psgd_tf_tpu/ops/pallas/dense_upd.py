@@ -1,0 +1,112 @@
+"""Fused dense-family update — one Pallas kernel launch.
+
+The rank-2 Lie-group step (groups/dense.py, reference parity
+/root/reference/preconditioned_stochastic_gradient_descent.py:26-42):
+
+  a = Q h,  b = Q^{-T} v
+  G = triu(a a^T - b b^T)
+  Q' = Q - step/(max|G| + tiny) * G Q
+
+One launch: the matvec, the blocked triangular solve (Newton diagonal
+inverses), the rank-2 outer difference, the masked max-abs, and the G Q
+matmul all happen with Q resident in VMEM. The (n, n) G Q product runs on
+the MXU — at the dense family's capacity (n <= 768 here, README.md:54 caps
+dense at ~1e4 params) one n^3 MXU matmul beats the XLA path's chain of
+VPU cumsums on wall clock and dispatch count.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from psgd_tf_tpu.ops.pallas.tri import BS, _newton_inv
+
+# VMEM cap: Q, the rank-2 gradient, and the G Q product are all (n, n)
+# live at once; 1024 was measured to OOM the 16MB scoped vmem.
+MAX_N = 768
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _kernel(q_ref, v_ref, h_ref, s_ref, out_ref, *, nb, tiny):
+    # default MXU precision for the statistical parts (matvec, outer
+    # products, G Q) — matches the XLA baseline; the solve below pins
+    # Precision.HIGHEST where substitution amplifies rounding
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    hdot = functools.partial(
+        jnp.dot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    outer = lambda x, y: jax.lax.dot_general(  # (n,1),(n,1) -> x y^T (n,n)
+        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    q = q_ref[:]
+    a = dot(q, h_ref[:])  # (n, 1)
+
+    # solve Q^T b = v: effective lower system, forward over block rows
+    rows = []
+    for i in range(nb):
+        acc = v_ref[i * BS : (i + 1) * BS, :]
+        for j in range(i):
+            mij = q[j * BS : (j + 1) * BS, i * BS : (i + 1) * BS].T
+            acc = acc - hdot(mij, rows[j])
+        inv = _newton_inv(q[i * BS : (i + 1) * BS, i * BS : (i + 1) * BS].T, BS)
+        rows.append(hdot(inv, acc))
+    b = jnp.concatenate(rows, axis=0) if nb > 1 else rows[0]
+
+    g = outer(a, a) - outer(b, b)
+    r = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    g = jnp.where(r <= c, g, 0.0)
+    step0 = s_ref[0, 0] / (jnp.max(jnp.abs(g)) + tiny)
+    out_ref[:] = q - step0 * dot(g, q)
+
+
+@functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
+def fused_update(
+    q: jax.Array,
+    v: jax.Array,
+    h: jax.Array,
+    step: jax.Array | float,
+    tiny: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """One-launch dense update; returns Q'. Pads n to a 128 multiple with
+    an identity diagonal extension (exact: padded probe entries are 0, so
+    padded a/b rows are 0 and the padded Q block is untouched)."""
+    n = q.shape[0]
+    np_ = _cdiv(n, BS) * BS
+    if np_ > MAX_N:
+        raise ValueError(f"fused dense update cap is n <= {MAX_N}")
+
+    qp = q
+    if np_ > n:
+        qp = jnp.zeros((np_, np_), q.dtype).at[:n, :n].set(q)
+        qp = qp + jnp.diag(
+            jnp.concatenate([jnp.zeros((n,), q.dtype), jnp.ones((np_ - n,), q.dtype)])
+        )
+    pad_v = jnp.zeros((np_, BS), q.dtype).at[:n, 0].set(v)
+    pad_h = jnp.zeros((np_, BS), q.dtype).at[:n, 0].set(h)
+    s = jnp.asarray(step, q.dtype).reshape(1, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, nb=np_ // BS, tiny=tiny),
+        out_shape=jax.ShapeDtypeStruct((np_, np_), q.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qp, pad_v, pad_h, s)
+    return out[:n, :n]

@@ -1,0 +1,185 @@
+"""Fused (dense, dense) Kronecker update — one Pallas kernel launch.
+
+The XLA path for `_update_dd` (groups/kron.py, reference parity
+/root/reference/preconditioned_stochastic_gradient_descent.py:156-179)
+issues ~12 separate ops: balancing reductions, two matmuls for A, two
+triangular solves for Bt, four Gram matmuls, two max-abs reductions, two
+update matmuls. At reference-scale factor sizes (tens..hundreds) every one
+of those is dispatch-latency-bound. This kernel keeps Ql, Qr, dX, dG and
+all intermediates in VMEM and does the entire update in one launch:
+
+  rho   = sqrt(max diag Ql / max diag Qr)       (masked for padding)
+  A     = (Ql/rho) dG (rho Qr)^T
+  Bt    = (Ql/rho)^{-T} dX (rho Qr)^{-1}        (left + right block solves,
+                                                 Newton diagonal inverses)
+  grad1 = triu(A A^T - Bt Bt^T),  grad2 = triu(A^T A - Bt^T Bt)
+  Ql'   = Ql - step/(max|grad1|+tiny) grad1 Ql   (and likewise Qr')
+
+Inputs pad to 128 multiples with an identity diagonal extension, which
+keeps the solves and updates exact; masks keep the padded diagonal out of
+the balancing maxima. Cap: padded sides <= 512 (VMEM budget), callers fall
+back to the XLA path above that.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from psgd_tf_tpu.ops.pallas.tri import BS, _eye, _newton_inv
+
+# VMEM budget: the kernel holds ~9 (side, side) fp32 arrays live (factors,
+# probes, A/Bt, grads, products); 384 -> ~5.3MB blocks tops out around
+# 13MB, 512 was measured to OOM at 22.3MB against the 16MB scoped limit.
+MAX_SIDE = 384
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _blk(ref_or_val, i, j):
+    return ref_or_val[i * BS : (i + 1) * BS, j * BS : (j + 1) * BS]
+
+
+def _left_solve_t(q, b, nb_rows):
+    """Solve Q^T X = B for upper-triangular Q (values, not refs):
+    effective lower system, forward over block rows. Returns X."""
+    rows = []
+    for i in range(nb_rows):
+        acc = b[i * BS : (i + 1) * BS, :]
+        for j in range(i):
+            mij = _blk(q, j, i).T  # (Q^T)[i, j] = Q[j, i]^T
+            acc = acc - jnp.dot(mij, rows[j], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        inv = _newton_inv(_blk(q, i, i).T, BS)
+        rows.append(jnp.dot(inv, acc, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST))
+    return jnp.concatenate(rows, axis=0) if nb_rows > 1 else rows[0]
+
+
+def _right_solve(q, b, nb_cols):
+    """Solve X Q = B for upper-triangular Q: forward over block columns."""
+    cols = []
+    for j in range(nb_cols):
+        acc = b[:, j * BS : (j + 1) * BS]
+        for k in range(j):
+            acc = acc - jnp.dot(
+                cols[k], _blk(q, k, j),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        inv = _newton_inv(_blk(q, j, j), BS)
+        cols.append(jnp.dot(acc, inv, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST))
+    return jnp.concatenate(cols, axis=1) if nb_cols > 1 else cols[0]
+
+
+def _masked_diag_max(q, true_n, size):
+    d = jnp.sum(q * _eye(size, q.dtype), axis=1, keepdims=True)  # (size, 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0)
+    return jnp.max(jnp.where(idx < true_n, d, -jnp.inf))
+
+
+def _triu_mask(x):
+    r = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(r <= c, x, 0.0)
+
+
+def _kernel(ql_ref, qr_ref, dx_ref, dg_ref, s_ref, newql_ref, newqr_ref,
+            *, m, n, mp, np_, tiny):
+    # Statistical GEMMs (A, Grams, updates) run at default MXU precision —
+    # matching the XLA baseline path, whose matmuls are bf16 on TPU. Only
+    # the solves (in _left_solve_t/_right_solve via _newton_inv) pin
+    # Precision.HIGHEST, where rounding would amplify through substitution.
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    tdot = lambda a, b: jax.lax.dot_general(  # a^T @ b
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dott = lambda a, b: jax.lax.dot_general(  # a @ b^T
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    step = s_ref[0, 0]
+    ql, qr = ql_ref[:], qr_ref[:]
+    dx, dg = dx_ref[:], dg_ref[:]
+
+    # dynamic-range balancing (ref :166-170), padding masked out
+    rho = jnp.sqrt(_masked_diag_max(ql, m, mp) / _masked_diag_max(qr, n, np_))
+    ql_b = ql * (1.0 / rho)
+    qr_b = qr * rho
+    # keep the identity padding exact after scaling so solves stay valid
+    eye_mp = _eye(mp, ql.dtype)
+    eye_np = _eye(np_, qr.dtype)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 0)
+    ql_b = jnp.where(ridx >= m, eye_mp, ql_b)
+    ridxn = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
+    qr_b = jnp.where(ridxn >= n, eye_np, qr_b)
+
+    a = dott(dot(ql_b, dg), qr_b)                      # Ql dG Qr^T
+    w = _left_solve_t(ql_b, dx, mp // BS)              # Ql^{-T} dX
+    bt = _right_solve(qr_b, w, np_ // BS)              # ... Qr^{-1}
+
+    grad1 = _triu_mask(dott(a, a) - dott(bt, bt))
+    grad2 = _triu_mask(tdot(a, a) - tdot(bt, bt))
+    step1 = step / (jnp.max(jnp.abs(grad1)) + tiny)
+    step2 = step / (jnp.max(jnp.abs(grad2)) + tiny)
+
+    newql_ref[:] = ql_b - step1 * dot(grad1, ql_b)
+    newqr_ref[:] = qr_b - step2 * dot(grad2, qr_b)
+
+
+@functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
+def fused_update(
+    ql: jax.Array,
+    qr: jax.Array,
+    dx: jax.Array,
+    dg: jax.Array,
+    step: jax.Array | float,
+    tiny: float,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """One-launch (dense, dense) Kron update. Returns (Ql', Qr') with the
+    balancing applied (matching groups.kron._update_dd semantics)."""
+    m, n = dx.shape
+    mp, np_ = _cdiv(m, BS) * BS, _cdiv(n, BS) * BS
+    if max(mp, np_) > MAX_SIDE:
+        raise ValueError(f"fused kron_dd cap is side <= {MAX_SIDE}")
+
+    def pad_q(q, p):
+        d = q.shape[0]
+        if p == d:
+            return q
+        out = jnp.zeros((p, p), q.dtype).at[:d, :d].set(q)
+        return out + jnp.diag(
+            jnp.concatenate([jnp.zeros((d,), q.dtype), jnp.ones((p - d,), q.dtype)])
+        )
+
+    def pad_m(x):
+        return jnp.zeros((mp, np_), x.dtype).at[:m, :n].set(x)
+
+    s = jnp.asarray(step, ql.dtype).reshape(1, 1)
+    new_ql, new_qr = pl.pallas_call(
+        functools.partial(
+            _kernel, m=m, n=n, mp=mp, np_=np_, tiny=tiny
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((mp, mp), ql.dtype),
+            jax.ShapeDtypeStruct((np_, np_), qr.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(pad_q(ql, mp), pad_q(qr, np_), pad_m(dx), pad_m(dg), s)
+    return new_ql[:m, :m], new_qr[:n, :n]

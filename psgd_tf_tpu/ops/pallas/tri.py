@@ -1,0 +1,126 @@
+"""Blocked triangular solve as a single Pallas kernel.
+
+TPUs have no native `trsm` (the reference leans on TF's C++
+`tf.linalg.triangular_solve`, ref :39,:174,:233,:298,:436-452). The
+TPU-native formulation here:
+
+  1. Exact inverse of each 128x128 diagonal block by Newton iteration
+     X_{k+1} = X_k (2I - A X_k), X_0 = diag(A)^{-1}. For triangular A the
+     residual E_k = I - A X_k is strictly triangular (nilpotent) and
+     squares every iteration, so after ceil(log2(bs)) = 7 steps the
+     inverse is EXACT, not approximate — all MXU matmuls, no sequential
+     substitution anywhere.
+  2. Block forward/backward substitution across the (n/128)^2 off-diagonal
+     blocks — again all (128,128) @ (128,nrhs) MXU matmuls.
+
+One kernel launch total; Q and B stay resident in VMEM (cap: n <= 768).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BS = 128
+MAX_N = 768  # VMEM cap for the single-launch kernel (measured: 1024 OOMs the 16MB scoped vmem)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _eye(bs: int, dtype) -> jax.Array:
+    r = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+    return (r == c).astype(dtype)
+
+
+def _newton_inv(a: jax.Array, bs: int) -> jax.Array:
+    """Exact inverse of a triangular (bs, bs) block; see module docstring."""
+    eye = _eye(bs, a.dtype)
+    d = jnp.sum(a * eye, axis=1)  # diagonal (gather-free)
+    x = eye * (1.0 / d)[:, None]
+    for _ in range(max(1, math.ceil(math.log2(bs)))):
+        ax = jnp.dot(a, x, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        x = jnp.dot(x, 2.0 * eye - ax, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    return x
+
+
+def _solve_kernel(q_ref, b_ref, out_ref, *, nb: int, lower: bool, trans: bool):
+    """Solve M X = B, M = Q^T if trans else Q; Q strictly triangular blocks.
+
+    Effective orientation: (lower XOR trans) -> forward substitution.
+    Block M[i][j] = Q[j*BS:.., i*BS:..]^T when trans else Q[i*BS.., j*BS..].
+    """
+    forward = lower != trans  # effective lower-triangular system
+
+    def mblock(i, j):
+        if trans:
+            blk = q_ref[j * BS : (j + 1) * BS, i * BS : (i + 1) * BS]
+            return blk.T
+        return q_ref[i * BS : (i + 1) * BS, j * BS : (j + 1) * BS]
+
+    order = range(nb) if forward else range(nb - 1, -1, -1)
+    done: list[int] = []
+    for i in order:
+        acc = b_ref[i * BS : (i + 1) * BS, :]
+        for j in done:
+            acc = acc - jnp.dot(
+                mblock(i, j),
+                out_ref[j * BS : (j + 1) * BS, :],
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+        inv = _newton_inv(mblock(i, i), BS)
+        out_ref[i * BS : (i + 1) * BS, :] = jnp.dot(
+            inv, acc,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        done.append(i)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lower", "trans", "interpret")
+)
+def solve_triangular(
+    q: jax.Array,
+    b: jax.Array,
+    *,
+    lower: bool = False,
+    trans: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas-blocked solve of (Q or Q^T) X = B; Q (n, n) triangular,
+    B (n, nrhs). Pads to 128 multiples (identity diagonal extension keeps
+    the padded system exact)."""
+    n, nrhs = q.shape[0], b.shape[1] if b.ndim == 2 else 1
+    b2 = b[:, None] if b.ndim == 1 else b
+    np_, nr_ = _cdiv(n, BS) * BS, max(_cdiv(nrhs, BS) * BS, BS)
+    if np_ > MAX_N:
+        raise ValueError(f"pallas solve cap is n <= {MAX_N}, got {n}")
+
+    qp = jnp.zeros((np_, np_), q.dtype).at[:n, :n].set(q)
+    if np_ > n:
+        qp = qp + jnp.diag(
+            jnp.concatenate([jnp.zeros((n,), q.dtype), jnp.ones((np_ - n,), q.dtype)])
+        )
+    bp = jnp.zeros((np_, nr_), b2.dtype).at[:n, :nrhs].set(b2)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _solve_kernel, nb=np_ // BS, lower=lower, trans=trans
+        ),
+        out_shape=jax.ShapeDtypeStruct((np_, nr_), q.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qp, bp)
+    out = out[:n, :nrhs]
+    return out[:, 0] if b.ndim == 1 else out

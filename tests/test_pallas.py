@@ -1,0 +1,88 @@
+"""Pallas kernel tests (interpret mode on CPU) against the XLA oracles."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psgd_tf_tpu.groups import dense, kron
+from psgd_tf_tpu.ops import linalg
+from psgd_tf_tpu.ops.pallas import dense_upd, kron_dd, tri
+
+KEY = jax.random.PRNGKey(0)
+TINY = linalg.tiny(jnp.float32)
+
+
+def _triu_mat(key, n, diag=1.0, noise=0.1):
+    return jnp.triu(diag * jnp.eye(n) + noise * jax.random.normal(key, (n, n)))
+
+
+@pytest.mark.parametrize(
+    "n,nrhs,lower,trans",
+    [
+        (128, 128, False, True),
+        (300, 64, False, True),
+        (512, 256, False, False),
+        (257, 1, True, False),
+        (640, 200, True, True),
+    ],
+)
+def test_solve_triangular_matches_lax(n, nrhs, lower, trans):
+    q = _triu_mat(KEY, n)
+    if lower:
+        q = q.T
+    b = (
+        jax.random.normal(jax.random.fold_in(KEY, 1), (n, nrhs))
+        if nrhs > 1
+        else jax.random.normal(jax.random.fold_in(KEY, 1), (n,))
+    )
+    got = tri.solve_triangular(q, b, lower=lower, trans=trans, interpret=True)
+    ref = jax.lax.linalg.triangular_solve(
+        q, b[:, None] if b.ndim == 1 else b,
+        left_side=True, lower=lower, transpose_a=trans,
+    )
+    if b.ndim == 1:
+        ref = ref[:, 0]
+    # norm-relative: triangular solves amplify fp32 rounding with the
+    # system's condition number, so elementwise rtol is the wrong metric
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=0, atol=1e-5 * scale
+    )
+
+
+def test_solve_triangular_cap():
+    q = jnp.eye(1024)
+    with pytest.raises(ValueError, match="cap"):
+        tri.solve_triangular(q, jnp.ones((1024,)), interpret=True)
+
+
+@pytest.mark.parametrize("shape", [(26, 6), (151, 16), (257, 120), (384, 384)])
+def test_fused_kron_dd_matches_xla_path(shape):
+    m, n = shape
+    ql = _triu_mat(KEY, m, noise=0.05)
+    qr = _triu_mat(jax.random.fold_in(KEY, 1), n, noise=0.05)
+    dx = jax.random.normal(jax.random.fold_in(KEY, 2), shape)
+    dg = jax.random.normal(jax.random.fold_in(KEY, 3), shape)
+    ref_ql, ref_qr = kron._update_dd(ql, qr, dx, dg, jnp.float32(0.1), TINY)
+    got_ql, got_qr = kron_dd.fused_update(ql, qr, dx, dg, 0.1, TINY, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_ql), np.asarray(ref_ql), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_qr), np.asarray(ref_qr), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_kron_dd_preserves_triangularity():
+    ql = _triu_mat(KEY, 100, noise=0.05)
+    qr = _triu_mat(jax.random.fold_in(KEY, 1), 60, noise=0.05)
+    dx = jax.random.normal(KEY, (100, 60))
+    got_ql, got_qr = kron_dd.fused_update(ql, qr, dx, dx, 0.1, TINY, interpret=True)
+    np.testing.assert_allclose(np.asarray(jnp.tril(got_ql, -1)), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(jnp.tril(got_qr, -1)), 0.0, atol=1e-7)
+
+
+@pytest.mark.parametrize("n", [64, 300, 768])
+def test_fused_dense_matches_xla_path(n):
+    q = _triu_mat(KEY, n, diag=0.5, noise=0.02)
+    v = jax.random.normal(jax.random.fold_in(KEY, 5), (n,))
+    h = jax.random.normal(jax.random.fold_in(KEY, 6), (n,))
+    ref = dense.update(dense.DenseState(Q=q), v, h, 0.1).Q
+    got = dense_upd.fused_update(q, v, h, 0.1, TINY, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
