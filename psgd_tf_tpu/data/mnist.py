@@ -170,7 +170,24 @@ def synthetic(
 
 def load_idx(data_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Read pre-staged MNIST idx(.gz) files: returns (x_train, y_train,
-    x_test, y_test) with images (n, 28, 28, 1) float32 in [0, 1]."""
+    x_test, y_test) with images (n, 28, 28, 1) float32 in [0, 1].
+
+    Uses the native C++ decoder (data/native.py) when the toolchain is
+    available; the pure-Python path below is the fallback and oracle."""
+    from psgd_tf_tpu.data import native
+
+    if native.available():
+        def pair(img_name, lab_name):
+            x = native.decode_idx_images(os.path.join(data_dir, img_name))
+            y = native.decode_idx_labels(os.path.join(data_dir, lab_name))
+            return x.reshape(-1, 28, 28, 1), y
+
+        try:
+            xtr, ytr = pair("train-images-idx3-ubyte", "train-labels-idx1-ubyte")
+            xte, yte = pair("t10k-images-idx3-ubyte", "t10k-labels-idx1-ubyte")
+            return xtr, ytr, xte, yte
+        except (FileNotFoundError, ValueError):
+            pass  # fall through to the Python path's richer error handling
 
     def _open(name):
         for fname in (name, name + ".gz"):
