@@ -15,15 +15,33 @@ from jax import lax
 
 
 def init(key: jax.Array, dim_in: int = 2, hidden: int = 30, dim_out: int = 1, dtype=jnp.float32):
-    """Glorot-uniform / 3 (the reference shrinks keras defaults, ref :33-34)."""
-    k1, k2 = jax.random.split(key)
+    """Keras SimpleRNN defaults with the reference's 1/3 shrink (ref :33-34):
+    input kernel glorot-uniform / 3, recurrent kernel ORTHOGONAL (unshrunk —
+    the reference divides only `cell.kernel` and the fc kernel), biases 0.
+    The orthogonal recurrence is what keeps gradient signal alive across
+    the ~100-step delay; a generic scaled-normal recurrence plateaus at
+    chance level on this task."""
+    k1, k2, k3 = jax.random.split(key, 3)
 
-    def glorot3(k, fan_in, fan_out):
-        lim = (6.0 / (fan_in + fan_out)) ** 0.5 / 3.0
-        w = jax.random.uniform(k, (fan_in, fan_out), dtype, -lim, lim)
-        return jnp.concatenate([w, jnp.zeros((1, fan_out), dtype)], axis=0)
+    lim = (6.0 / (dim_in + hidden)) ** 0.5 / 3.0
+    w_in = jax.random.uniform(k1, (dim_in, hidden), dtype, -lim, lim)
+    # orthogonal recurrent kernel via QR of a square normal
+    a = jax.random.normal(k2, (hidden, hidden), dtype)
+    q, r = jnp.linalg.qr(a)
+    w_rec = q * jnp.sign(jnp.diagonal(r))[None, :]
+    w_rnn = jnp.concatenate(
+        [w_in, w_rec, jnp.zeros((1, hidden), dtype)], axis=0
+    )
 
-    return [glorot3(k1, dim_in + hidden, hidden), glorot3(k2, hidden, dim_out)]
+    lim_fc = (6.0 / (hidden + dim_out)) ** 0.5 / 3.0
+    w_fc = jnp.concatenate(
+        [
+            jax.random.uniform(k3, (hidden, dim_out), dtype, -lim_fc, lim_fc),
+            jnp.zeros((1, dim_out), dtype),
+        ],
+        axis=0,
+    )
+    return [w_rnn, w_fc]
 
 
 def apply(params, x: jax.Array) -> jax.Array:
