@@ -6,17 +6,25 @@ Unlike standard low-rank forms (diag + U U^T) this fits *both* ends of the
 Hessian spectrum, so tiny ranks (~10) work at millions of parameters
 (ref README.md:17-19).
 
-State: U, V of shape (n, r) and d of shape (n,). All compute is tall-skinny
-matvecs (O(n r)) plus two solves against the r x r Gram matrix I + V^T U
-(Woodbury identity, ref :574-579). On a sharded mesh U, V, d and the probe
-vectors row-shard together; the r-sized reductions become psums that GSPMD
-inserts automatically.
+TPU-native layout: the factors are stored **rank-major**, `U, V: (r, n)` —
+the parameter axis rides the 128-wide lane dimension, so every kernel op is
+either a lane-wise broadcast/reduce (VPU) or an (r, BLK) contraction (MXU).
+The reference stores (n, r) column factors (ref :687-689); with r ~ 10 that
+layout wastes 118/128 lanes of every vector register on TPU. All compute is
+O(n r) streaming plus two solves against the r x r Gram matrix I + V U^T
+(Woodbury identity, ref :574-579). On a sharded mesh U, V shard along the
+parameter (lane) axis together with d and the probe vectors; the r-sized
+reductions become psums that GSPMD inserts automatically.
 
 Stochastic branches, functionalized with explicit PRNG keys (the reference
 uses in-place tf.Variable assigns and global RNG, ref :562, :588):
   - with prob 0.01 rebalance the dynamic ranges of U and V;
   - per step update *either* U or V (prob 0.5 each), each with a
     closed-form spectral-norm-proxy step size.
+
+On TPU the whole update runs as three fused Pallas streaming kernels at
+the HBM traffic bound (ops/pallas/lra_upd.py); the XLA path below is the
+fallback and oracle.
 """
 from __future__ import annotations
 
@@ -29,8 +37,8 @@ from psgd_tf_tpu.ops import linalg
 
 @flax.struct.dataclass
 class LRAState:
-    U: jax.Array  # (n, r)
-    V: jax.Array  # (n, r)
+    U: jax.Array  # (r, n) rank-major
+    V: jax.Array  # (r, n)
     d: jax.Array  # (n,)
 
 
@@ -45,15 +53,15 @@ def init(
     ku, kv = jax.random.split(key)
     scale = (1.0 / (n * rank)) ** 0.5
     return LRAState(
-        U=scale * jax.random.normal(ku, (n, rank), dtype=dtype),
-        V=scale * jax.random.normal(kv, (n, rank), dtype=dtype),
+        U=scale * jax.random.normal(ku, (rank, n), dtype=dtype),
+        V=scale * jax.random.normal(kv, (rank, n), dtype=dtype),
         d=init_scale * jnp.ones((n,), dtype=dtype),
     )
 
 
 def _ip_uvt_matvec(u: jax.Array, v: jax.Array, x: jax.Array) -> jax.Array:
-    """(I + U V^T) x (ref :540-544)."""
-    return x + u @ (v.T @ x)
+    """(I + U V^T) x with rank-major factors: x + (v x) @ u (ref :540-544)."""
+    return x + (v @ x) @ u
 
 
 def update(
@@ -65,9 +73,19 @@ def update(
 ) -> LRAState:
     if key is None:
         raise ValueError("lra.update requires a PRNG key (stochastic branches)")
-    k_bal, k_uv = jax.random.split(key)
+    from psgd_tf_tpu.ops import pallas as pallas_ops  # late: avoid cycle
+
     dtype = state.d.dtype
     t = linalg.tiny(dtype)
+    if pallas_ops.enabled() and dtype == jnp.float32:
+        # three-pass streaming kernels (ops/pallas/lra_upd.py); identical
+        # PRNG branch structure, so trajectories match the path below
+        new_U, new_V, new_d = pallas_ops.lra_upd.fused_update(
+            state.U, state.V, state.d, v, h, step, key, t
+        )
+        return LRAState(U=new_U, V=new_V, d=new_d)
+
+    k_bal, k_uv = jax.random.split(key)
     s = jnp.asarray(step, dtype)
 
     # 1% probability U/V dynamic-range rebalance (ref :562-567)
@@ -84,10 +102,10 @@ def update(
     Ph = d * _ip_uvt_matvec(V, U, Qh)
 
     # Woodbury: P^{-1} v via two r x r solves (ref :574-579)
-    IpVtU = jnp.eye(U.shape[1], dtype=dtype) + V.T @ U
+    IpVtU = jnp.eye(U.shape[0], dtype=dtype) + V @ U.T
     invQtv = v / d
-    invQtv = invQtv - V @ jax.scipy.linalg.solve(IpVtU.T, U.T @ invQtv)
-    invPv = invQtv - U @ jax.scipy.linalg.solve(IpVtU, V.T @ invQtv)
+    invQtv = invQtv - jax.scipy.linalg.solve(IpVtU.T, U @ invQtv) @ V
+    invPv = invQtv - jax.scipy.linalg.solve(IpVtU, V @ invQtv) @ U
     invPv = invPv / d
 
     # diagonal update (ref :581-584)
@@ -99,10 +117,10 @@ def update(
     a, b = Qh, invQtv
 
     def _update_u(U, V):
-        atV = a @ V               # (r,)
-        btV = b @ V
-        atVVt = V @ atV           # (n,)
-        btVVt = V @ btV
+        atV = V @ a               # (r,)
+        btV = V @ b
+        atVVt = atV @ V           # (n,)
+        btVVt = btV @ V
         norm = jnp.sqrt(
             jnp.abs(
                 (a @ a) * (atVVt @ atVVt)
@@ -111,14 +129,16 @@ def update(
             )
         )
         mu = s / (norm + t)
-        newU = U - mu * (jnp.outer(a, atV @ IpVtU) - jnp.outer(b, btV @ IpVtU))
+        newU = U - mu * (
+            jnp.outer(IpVtU.T @ atV, a) - jnp.outer(IpVtU.T @ btV, b)
+        )
         return newU, V
 
     def _update_v(U, V):
-        atU = a @ U               # (r,)
-        btU = b @ U
-        UUta = U @ atU            # (n,)
-        UUtb = U @ btU
+        atU = U @ a               # (r,)
+        btU = U @ b
+        UUta = atU @ U            # (n,)
+        UUtb = btU @ U
         norm = jnp.sqrt(
             jnp.abs(
                 (UUta @ UUta) * (a @ a)
@@ -127,7 +147,9 @@ def update(
             )
         )
         mu = s / (norm + t)
-        newV = V - mu * (jnp.outer(a + V @ atU, atU) - jnp.outer(b + V @ btU, btU))
+        newV = V - mu * (
+            jnp.outer(atU, a + atU @ V) - jnp.outer(btU, b + btU @ V)
+        )
         return U, newV
 
     new_U, new_V = jax.lax.cond(
@@ -145,5 +167,5 @@ def apply(state: LRAState, g: jax.Array) -> jax.Array:
 def materialize(state: LRAState) -> jax.Array:
     """Dense P = Q^T Q for tests only."""
     n = state.d.shape[0]
-    q = (jnp.eye(n, dtype=state.d.dtype) + state.U @ state.V.T) @ jnp.diag(state.d)
+    q = (jnp.eye(n, dtype=state.d.dtype) + state.U.T @ state.V) @ jnp.diag(state.d)
     return q.T @ q

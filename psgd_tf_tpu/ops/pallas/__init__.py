@@ -18,19 +18,40 @@ PSGD_TF_TPU_PALLAS=0/1); family code additionally gates on shape caps
 """
 from __future__ import annotations
 
+import contextlib
 import os
 
 import jax
 
 _FORCE = os.environ.get("PSGD_TF_TPU_PALLAS")
+_disabled_depth = 0
 
 
 def enabled() -> bool:
+    if _disabled_depth:
+        return False
     if _FORCE is not None:
         return _FORCE not in ("0", "false", "off")
     return jax.default_backend() == "tpu"
 
 
-from psgd_tf_tpu.ops.pallas import dense_upd, kron_dd, tri  # noqa: E402
+@contextlib.contextmanager
+def disabled():
+    """Trace-time escape hatch: force the XLA paths inside this context.
 
-__all__ = ["enabled", "tri", "kron_dd", "dense_upd"]
+    Used by parallel.build_sharded_step — pallas_call is opaque to GSPMD,
+    so sharded steps must trace the annotation-friendly XLA math. (Sharded
+    pallas via shard_map, with psums of the rank-space reductions, is the
+    designed follow-up.)
+    """
+    global _disabled_depth
+    _disabled_depth += 1
+    try:
+        yield
+    finally:
+        _disabled_depth -= 1
+
+
+from psgd_tf_tpu.ops.pallas import dense_upd, kron_dd, lra_upd, tri  # noqa: E402
+
+__all__ = ["enabled", "tri", "kron_dd", "dense_upd", "lra_upd"]

@@ -1,0 +1,312 @@
+"""Fused LRA (UVd) update — three streaming Pallas kernels at the HBM bound.
+
+The XLA path for `lra.update` (reference parity ref :554-617) issues
+~10-13 separate passes over the (r, n) factors per update; measured on
+v5e it runs 8-14x above the HBM traffic bound. The minimum is set by two
+chained global reductions (Grams -> rank-space solves -> max|nablaD| ->
+step sizes), which force exactly three streaming passes:
+
+  stage 1 (reduce):  one pass over U, V, d, h, v -> all rank-space
+      reductions at once: t = Vx, s = Ux, p = Uw, q = Vw, the Grams
+      G = VU^T, Gu = UU^T, Gv = VV^T, the probe dots x.x/w.w/x.w, and
+      max|U|, max|V| (for the 1%-probability rebalance).
+  rank-space algebra (jnp, O(r^2)): the balance factors fold into the
+      reductions as scalars (cu*cv = 1, so G is balance-invariant);
+      Woodbury solves on the r x r system give every stage-2/3
+      coefficient. No (r, n) data is touched.
+  stage 2 (map+reduce): one pass -> Qh, invQtv, nablaD vectors and the
+      global max|nablaD|.
+  stage 3 (update): one pass -> U', V', d' via rank-vector outer products;
+      the U-vs-V coin arrives as zeroed coefficients (branch-free masked
+      update, SURVEY.md §7 hard part #3), the balance as the cu/cv scale.
+
+Traffic: ~8nr + O(n) bytes vs XLA's measured ~50-120nr. Factors are
+rank-major (r, n) so the parameter axis rides the lanes: every kernel op
+is a lane-broadcast/reduce (VPU) or an (r, BLK) contraction (MXU).
+Mosaic-specific shapes: all n-vectors travel as (1, n) rows; rank vectors
+pack as columns of small 2-D arrays (scalar/1-D VMEM stores and 1-D dot
+operands don't lower).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLKN = 8192  # lanes per grid step
+SUB = 8      # fp32 sublane quantum (rank pads to a multiple of this)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _dotg(a, b, dims):
+    # default MXU precision throughout — matches the XLA baseline path,
+    # whose Grams/projections are bf16 on TPU; interpret-mode (CPU tests)
+    # is exact f32 either way
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+# ------------------------------------------------------------------ stage 1
+
+def _stage1_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref,
+                   bigram_ref, maxs_ref):
+    """ONE packed Gram per block: Z = [U; V; x; w], Z Z^T contains every
+    rank-space reduction the update needs (Gu, G, Gv, s, p, t, q and the
+    probe dots). A single MXU K-stream instead of 3 Grams + 2 projections
+    — the kernel's cost driver, since skinny-matmul cost is ~K cycles
+    regardless of M, N."""
+    first = pl.program_id(0) == 0
+    u, v = u_ref[:], v_ref[:]
+    x = d_ref[:] * h_ref[:]          # (1, B)
+    w = vv_ref[:] / d_ref[:]
+
+    @pl.when(first)
+    def _():
+        bigram_ref[:] = jnp.zeros_like(bigram_ref)
+        maxs_ref[:] = jnp.zeros_like(maxs_ref)
+
+    z = jnp.concatenate([u, v, x, w], axis=0)      # (2 rp + 2, B)
+    bigram_ref[:] += _dotg(z, z, (((1,), (1,))))
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    maxs_ref[:] = jnp.maximum(
+        maxs_ref[:],
+        jnp.where(
+            lanes == 0, jnp.max(jnp.abs(u)),
+            jnp.where(lanes == 1, jnp.max(jnp.abs(v)), 0.0),
+        ),
+    )
+
+
+# ------------------------------------------------------------------ stage 2
+
+def _stage2_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref, coef_ref,
+                   qh_ref, b_ref, nd_ref, ndmax_ref):
+    first = pl.program_id(0) == 0
+    u, v = u_ref[:], v_ref[:]
+    d = d_ref[:]
+    x = d * h_ref[:]
+    w = vv_ref[:] / d
+
+    def proj(col, m):  # coef column (rp, 1) applied to (rp, B) -> (1, B)
+        # VPU broadcast-multiply + sublane reduce; an MXU dot here would
+        # K-stream 64 output tiles per projection and dominate the kernel
+        return jnp.sum(coef_ref[:, col : col + 1] * m, axis=0, keepdims=True)
+
+    # coef cols: 0 = t0 (Qh), 1 = cv*a1 (invQtv), 2 = cv*s2 (Ph), 3 = cu*a2
+    qh = x + proj(0, u)
+    b = w - proj(1, v)
+    ph = d * (qh + proj(2, v))
+    ipv = (b - proj(3, u)) / d
+    nd = ph * h_ref[:] - vv_ref[:] * ipv
+
+    qh_ref[:] = qh
+    b_ref[:] = b
+    nd_ref[:] = nd
+
+    @pl.when(first)
+    def _():
+        ndmax_ref[:] = jnp.zeros_like(ndmax_ref)
+
+    ndmax_ref[:] = jnp.maximum(ndmax_ref[:], jnp.max(jnp.abs(nd)))
+
+
+# ------------------------------------------------------------------ stage 3
+
+def _stage3_kernel(u_ref, v_ref, d_ref, qh_ref, b_ref, nd_ref,
+                   coef_ref, scal_ref, newu_ref, newv_ref, newd_ref):
+    a = qh_ref[:]                       # (1, B)
+    b = b_ref[:]
+    cu = scal_ref[0, 0]
+    cv = scal_ref[0, 1]
+    mu_d = scal_ref[0, 2]
+
+    def col(j):  # (rp, 1)
+        return coef_ref[:, j : j + 1]
+
+    def outer(cvec, row):  # (rp,1) x (1,B) -> (rp, B), VPU broadcast
+        return cvec * row
+
+    def proj(j, m):  # (rp,1) . (rp,B) -> (1, B), VPU reduce
+        return jnp.sum(col(j) * m, axis=0, keepdims=True)
+
+    # cols: 0 = e1, 1 = e2 (U update, mu-scaled; zero when updating V)
+    #       2 = f1, 3 = f2 (V update, mu-scaled; zero when updating U)
+    #       4 = g1, 5 = g2 (cv * atU', cv * btU' lane projections)
+    av = a + proj(4, v_ref[:])
+    bv = b + proj(5, v_ref[:])
+
+    newu_ref[:] = cu * u_ref[:] - (outer(col(0), a) - outer(col(1), b))
+    newv_ref[:] = cv * v_ref[:] - (outer(col(2), av) - outer(col(3), bv))
+    newd_ref[:] = d_ref[:] - mu_d * d_ref[:] * nd_ref[:]
+
+
+# ------------------------------------------------------------------ wrapper
+
+@functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
+def fused_update(U, V, d, v, h, step, key, tiny: float, interpret: bool = False):
+    """One LRA update matching groups.lra.update semantics exactly
+    (including the rebalance and U-vs-V PRNG branch structure).
+
+    U, V: (r, n) rank-major; d, v, h: (n,). Returns (U', V', d').
+    """
+    r, n = U.shape
+    rp = max(SUB, _cdiv(r, SUB) * SUB)
+    np_ = _cdiv(n, BLKN) * BLKN
+    nb = np_ // BLKN
+    f32 = jnp.float32
+    padded = (rp != r) or (np_ != n)
+
+    if padded:
+        def pad_rn(m):
+            return jnp.zeros((rp, np_), f32).at[:r, :n].set(m)
+
+        def pad_n(x, fill=0.0):
+            return jnp.full((1, np_), fill, f32).at[0, :n].set(x)
+
+        Up, Vp = pad_rn(U), pad_rn(V)
+        dp = pad_n(d, fill=1.0)  # 1-fill keeps w = v/d finite in the pad
+        hp, vp = pad_n(h), pad_n(v)
+    else:
+        Up, Vp = U, V
+        dp, hp, vp = d[None, :], h[None, :], v[None, :]
+
+    blk_rn = pl.BlockSpec((rp, BLKN), lambda i: (0, i), memory_space=pltpu.VMEM)
+    blk_n = pl.BlockSpec((1, BLKN), lambda i: (0, i), memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+    # ---- stage 1: ONE packed Gram Z Z^T = every rank-space reduction
+    zdim = 2 * rp + 2
+    bigram, maxs = pl.pallas_call(
+        _stage1_kernel,
+        grid=(nb,),
+        in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n],
+        out_specs=(rep((zdim, zdim)), rep((1, 8))),
+        out_shape=(
+            jax.ShapeDtypeStruct((zdim, zdim), f32),
+            jax.ShapeDtypeStruct((1, 8), f32),
+        ),
+        interpret=interpret,
+    )(Up, Vp, dp, hp, vp)
+
+    # unpack Z Z^T with Z = [U; V; x; w]
+    iu, iv, ix, iw = slice(0, rp), slice(rp, 2 * rp), 2 * rp, 2 * rp + 1
+    Gu = bigram[iu, iu]
+    Gv = bigram[iv, iv]
+    G = bigram[iv, iu]             # V U^T
+    s0 = bigram[iu, ix]            # U x
+    p0 = bigram[iu, iw]            # U w
+    t0 = bigram[iv, ix]            # V x
+    q0 = bigram[iv, iw]            # V w
+    xx, ww, xw = bigram[ix, ix], bigram[iw, iw], bigram[ix, iw]
+    maxU, maxV = maxs[0, 0], maxs[0, 1]
+
+    # ---- balance coin (ref :562-567); cu*cv = 1 keeps G invariant
+    k_bal, k_uv = jax.random.split(key)
+    do_balance = jax.random.uniform(k_bal, dtype=f32) < 0.01
+    rho = jnp.sqrt(maxU / maxV)
+    cu = jnp.where(do_balance, 1.0 / rho, 1.0)
+    cv = jnp.where(do_balance, rho, 1.0)
+
+    # balanced rank-space quantities (primes)
+    t, s, p, q = cv * t0, cu * s0, cu * p0, cv * q0
+    Gup, Gvp_ = cu * cu * Gu, cv * cv * Gv  # G' = G
+
+    # ---- Woodbury rank-space algebra (ref :574-579)
+    eye = jnp.eye(rp, dtype=f32)
+    IpVtU = eye + G
+    a1 = jax.scipy.linalg.solve(IpVtU.T, p)
+    a2 = jax.scipy.linalg.solve(IpVtU, q - Gvp_ @ a1)
+    s2 = s + Gup @ t  # U' Qh
+
+    # stage-2 coefficients on the RAW factors (balance absorbed into each
+    # coefficient; note cu * t = cu * cv * t0 = t0 since cu * cv = 1)
+    coef2 = jnp.stack([t0, cv * a1, cv * s2, cu * a2], axis=1)  # (rp, 4)
+    coef2 = jnp.concatenate([coef2, jnp.zeros((rp, 4), f32)], axis=1)
+
+    qh_vec, b_vec, nd_vec, ndmax = pl.pallas_call(
+        _stage2_kernel,
+        grid=(nb,),
+        in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, rep((rp, 8))],
+        out_specs=(blk_n, blk_n, blk_n, rep((1, 8))),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, np_), f32),
+            jax.ShapeDtypeStruct((1, np_), f32),
+            jax.ShapeDtypeStruct((1, np_), f32),
+            jax.ShapeDtypeStruct((1, 8), f32),
+        ),
+        interpret=interpret,
+    )(Up, Vp, dp, hp, vp, coef2)
+
+    step = jnp.asarray(step, f32)
+    mu_d = step / (ndmax[0, 0] + tiny)
+
+    # ---- rank-space dots of a = Qh and b = invQtv (no extra passes)
+    aa = xx + 2.0 * (s @ t) + t @ (Gup @ t)
+    bb = ww - 2.0 * (a1 @ q) + a1 @ (Gvp_ @ a1)
+    # a.b = (x + t U').(w - a1 V'):
+    #   x.(V'^T a1) = a1.(V'x) = a1.t ; (t U').w = t.(U'w) = t.p
+    #   (t U').(a1 V') = t.((U'V'^T) a1) = t.(G^T a1)
+    ab = xw - a1 @ t + t @ p - t @ (G.T @ a1)
+
+    # update-U coefficients (ref :588-601)
+    atV = t + G @ t
+    btV = q - Gvp_ @ a1  # V'b = V'w - Gv' a1
+    norm_u = jnp.sqrt(
+        jnp.abs(
+            aa * (atV @ (Gvp_ @ atV))
+            + bb * (btV @ (Gvp_ @ btV))
+            - 2.0 * ab * (atV @ (Gvp_ @ btV))
+        )
+    )
+    mu_u = step / (norm_u + tiny)
+
+    # update-V coefficients (ref :603-615)
+    atU = s + Gup @ t          # U'a
+    btU = p - G.T @ a1         # U'b = U'w - (U'V'^T) a1; U'V'^T = G^T
+    norm_v = jnp.sqrt(
+        jnp.abs(
+            (atU @ (Gup @ atU)) * aa
+            + (btU @ (Gup @ btU)) * bb
+            - 2.0 * (atU @ (Gup @ btU)) * ab
+        )
+    )
+    mu_v = step / (norm_v + tiny)
+
+    update_u = jax.random.uniform(k_uv, dtype=f32) < 0.5
+    zero = jnp.zeros((rp,), f32)
+    e1 = jnp.where(update_u, mu_u * (IpVtU.T @ atV), zero)
+    e2 = jnp.where(update_u, mu_u * (IpVtU.T @ btV), zero)
+    f1 = jnp.where(update_u, zero, mu_v * atU)
+    f2 = jnp.where(update_u, zero, mu_v * btU)
+    g1 = cv * atU
+    g2 = cv * btU
+    coef3 = jnp.stack([e1, e2, f1, f2, g1, g2], axis=1)  # (rp, 6)
+    coef3 = jnp.concatenate([coef3, jnp.zeros((rp, 2), f32)], axis=1)
+    scal3 = jnp.zeros((1, 8), f32).at[0, 0].set(cu).at[0, 1].set(cv).at[0, 2].set(mu_d)
+
+    newU, newV, newd = pl.pallas_call(
+        _stage3_kernel,
+        grid=(nb,),
+        in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, blk_n,
+                  rep((rp, 8)), rep((1, 8))],
+        out_specs=(blk_rn, blk_rn, blk_n),
+        out_shape=(
+            jax.ShapeDtypeStruct((rp, np_), f32),
+            jax.ShapeDtypeStruct((rp, np_), f32),
+            jax.ShapeDtypeStruct((1, np_), f32),
+        ),
+        interpret=interpret,
+    )(Up, Vp, dp, qh_vec, b_vec, nd_vec, coef3, scal3)
+
+    if padded:
+        return newU[:r, :n], newV[:r, :n], newd[0, :n]
+    return newU, newV, newd[0]

@@ -10,8 +10,9 @@ owns is block-partitioning the preconditioner state itself:
            collective-permute ring pass on ICI.
   splu   : L12 rows / U12 cols and the diagonal tails over `shard`; the
            r x r corner solves replicate (all_gather of r-vectors).
-  lra    : U, V, d rows over `shard`; the r x r Grams (V^T U etc.) become
-           psum-reduced tall-skinny matmuls.
+  lra    : U, V are rank-major (r, n) — the parameter axis (axis 1) shards
+           over `shard` together with d and the probes; the r x r Grams
+           (V U^T etc.) become psum-reduced wide contractions.
   kron   : per-layer factors replicate (they are small by design — the
            README's own capacity table caps dense factors at ~1e3); the
            *batch* axis carries the parallelism for those workloads.
@@ -54,7 +55,7 @@ def precond_sharding(mesh: Mesh, precond: Any) -> Any:
     if isinstance(precond, splu.SpLUState):
         return splu.SpLUState(L12=rowmat, l3=row, U12=colmat, u3=row)
     if isinstance(precond, lra.LRAState):
-        return lra.LRAState(U=rowmat, V=rowmat, d=row)
+        return lra.LRAState(U=colmat, V=colmat, d=row)
     if isinstance(precond, (list, tuple)):  # kron: replicate every factor
         return type(precond)(
             jax.tree_util.tree_map(lambda _: rep, ks) for ks in precond

@@ -43,8 +43,16 @@ def build_sharded_step(
         return tuple(data_sh if i in axes else rep for i in range(nargs))
 
     def make(nargs: int):
+        def step_xla(params, state, key, *batch):
+            # trace-time: force XLA family paths — pallas_call is opaque
+            # to GSPMD's sharding propagation
+            from psgd_tf_tpu.ops import pallas as pallas_ops
+
+            with pallas_ops.disabled():
+                return opt.step(loss_fn, params, state, key, *batch)
+
         return jax.jit(
-            partial(opt.step, loss_fn),
+            step_xla,
             in_shardings=(param_sh, state_sh, rep) + batch_shardings(nargs),
             out_shardings=(param_sh, state_sh, None),
             donate_argnums=(0, 1) if donate else (),

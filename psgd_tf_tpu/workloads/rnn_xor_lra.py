@@ -23,7 +23,7 @@ from psgd_tf_tpu.models import rnn
 
 def run(
     max_iters: int = 100_000,
-    seq_len: int = 50,
+    seq_len: int = 16,  # ref :8 ("decreasing sequence_length" note)
     batch_size: int = 128,
     hidden: int = 30,
     rank: int = 10,

@@ -134,8 +134,10 @@ def test_kron_dd_trajectory_matches_oracle():
 def test_lra_trajectory_matches_oracle():
     key = jax.random.PRNGKey(7)
     state = lra.init(key, N, rank=4)
-    U64 = np.asarray(state.U, np.float64)
-    V64 = np.asarray(state.V, np.float64)
+    # oracle keeps the reference's (n, r) column layout; the implementation
+    # stores rank-major (r, n) — transpose at the boundary
+    U64 = np.asarray(state.U, np.float64).T
+    V64 = np.asarray(state.V, np.float64).T
     d64 = np.asarray(state.d, np.float64)
     upd = jax.jit(partial(lra.update, step=0.05))
     step_key = jax.random.PRNGKey(11)
@@ -152,7 +154,7 @@ def test_lra_trajectory_matches_oracle():
         U64, V64, d64 = lra_oracle(
             U64, V64, d64, v, h, 0.05, balance=balance, update_u=update_u
         )
-    for got, want in ((state.U, U64), (state.V, V64), (state.d, d64)):
+    for got, want in ((state.U.T, U64), (state.V.T, V64), (state.d, d64)):
         rel = np.abs(np.asarray(got) - want).max() / np.abs(want).max()
         assert rel < 1e-3, rel
 

@@ -155,8 +155,9 @@ def test_lra_woodbury_matches_dense_inverse():
     )
     iP = np.linalg.inv(P)
     v = np.asarray(jax.random.normal(jax.random.PRNGKey(83), (N,)))
-    # reproduce the update's Woodbury solve chain
-    U, V, d = state.U, state.V, state.d
+    # reproduce the update's Woodbury solve chain ((n, r) column layout;
+    # the state stores rank-major (r, n), so transpose at the boundary)
+    U, V, d = state.U.T, state.V.T, state.d
     IpVtU = jnp.eye(3) + V.T @ U
     invQtv = jnp.asarray(v) / d
     invQtv = invQtv - V @ jax.scipy.linalg.solve(IpVtU.T, U.T @ invQtv)

@@ -1,0 +1,64 @@
+"""Fused LRA update kernel vs the XLA path (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psgd_tf_tpu.groups import lra
+from psgd_tf_tpu.ops import linalg
+from psgd_tf_tpu.ops.pallas import lra_upd
+
+TINY = linalg.tiny(jnp.float32)
+
+
+def _case(n, r, seed):
+    key = jax.random.PRNGKey(seed)
+    state = lra.init(jax.random.fold_in(key, 0), n, rank=r, init_scale=0.8)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+    h = jax.random.normal(jax.random.fold_in(key, 2), (n,))
+    return state, v, h, jax.random.PRNGKey(seed + 100)
+
+
+@pytest.mark.parametrize("n,r,seed", [(1000, 4, 1), (10000, 10, 2), (300, 3, 4), (8192, 16, 5)])
+def test_fused_matches_xla_path(n, r, seed):
+    state, v, h, k = _case(n, r, seed)
+    ref = lra.update(state, v, h, 0.05, k)
+    got = lra_upd.fused_update(state.U, state.V, state.d, v, h, 0.05, k, TINY, interpret=True)
+    for g, want in zip(got, (ref.U, ref.V, ref.d)):
+        scale = float(jnp.max(jnp.abs(want)))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(want), rtol=0, atol=3e-5 * scale)
+
+
+def test_fused_matches_on_balance_branch():
+    """Find a key whose first split fires the 1% rebalance and compare."""
+    kk = None
+    for i in range(3000):
+        cand = jax.random.PRNGKey(100000 + i)
+        k_bal, _ = jax.random.split(cand)
+        if float(jax.random.uniform(k_bal)) < 0.01:
+            kk = cand
+            break
+    assert kk is not None
+    state, v, h, _ = _case(500, 5, 9)
+    state = state.replace(U=state.U * 3.0)  # imbalance so rho != 1
+    ref = lra.update(state, v, h, 0.05, kk)
+    got = lra_upd.fused_update(state.U, state.V, state.d, v, h, 0.05, kk, TINY, interpret=True)
+    for g, want in zip(got, (ref.U, ref.V, ref.d)):
+        scale = float(jnp.max(jnp.abs(want)))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(want), rtol=0, atol=3e-5 * scale)
+
+
+def test_fused_covers_both_uv_branches():
+    """Across seeds both the U-branch and V-branch must be exercised."""
+    state, v, h, _ = _case(400, 4, 3)
+    hit = set()
+    for seed in range(6):
+        k = jax.random.PRNGKey(seed)
+        _, k_uv = jax.random.split(k)
+        hit.add(bool(jax.random.uniform(k_uv) < 0.5))
+        ref = lra.update(state, v, h, 0.05, k)
+        got = lra_upd.fused_update(state.U, state.V, state.d, v, h, 0.05, k, TINY, interpret=True)
+        for g, want in zip(got, (ref.U, ref.V, ref.d)):
+            scale = float(jnp.max(jnp.abs(want)))
+            np.testing.assert_allclose(np.asarray(g), np.asarray(want), rtol=0, atol=3e-5 * scale)
+    assert hit == {True, False}

@@ -106,7 +106,7 @@ def test_state_sharding_structure(mesh):
     opt = psgd.PSGD(preconditioner="lra", rank=2)
     state = opt.init({"w": jnp.zeros((10,))}, jax.random.PRNGKey(0))
     sh = state_sharding(mesh, state)
-    assert sh.precond.U.spec == P("shard", None)
+    assert sh.precond.U.spec == P(None, "shard")  # rank-major (r, n)
     assert sh.precond.d.spec == P("shard")
     assert sh.hyper.lr_params.spec == P()
 
