@@ -29,20 +29,35 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_fn(fn, *args, iters: int = 50, warmup: int = 2):
-    """Median-of-3 wall time per call, with donated-arg chaining disabled
-    (args re-passed; callers should avoid donation)."""
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+def time_chained(step_fn, make_state, iters: int = 30, reps: int = 3):
+    """Per-iteration wall time of `state -> state` chained `iters` times
+    inside ONE jitted lax.scan — sequential data dependencies make this an
+    honest device-throughput measure (independent repeated dispatches
+    overlap in the pipeline and can be served from request caches, both of
+    which overstate throughput). Each rep uses fresh inputs."""
+
+    @jax.jit
+    def run(state):
+        return jax.lax.scan(
+            lambda c, _: (step_fn(c), None), state, None, length=iters
+        )[0]
+
+    def sync(out) -> float:
+        # fetch an actual VALUE: on relayed/async backends
+        # block_until_ready can complete before the device finishes, so a
+        # device->host read of a result element is the only hard barrier
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(leaf.reshape(-1)[0])
+
+    sync(run(make_state(0)))
     times = []
-    for _ in range(3):
+    for rep in range(1, reps + 1):
+        state = make_state(rep)
+        jax.block_until_ready(state)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
+        sync(run(state))
         times.append((time.perf_counter() - t0) / iters)
-    return sorted(times)[1]
+    return min(times)
 
 
 def bench_lenet5_steps_per_sec(batch_size: int = 64, chain: int = 200) -> float:
@@ -84,45 +99,55 @@ def bench_lenet5_steps_per_sec(batch_size: int = 64, chain: int = 200) -> float:
         return params, state, losses[-1]
 
     out = train(params, state, key)
-    jax.block_until_ready(out)
+    float(out[2])  # hard sync (see time_chained)
     times = []
-    for _ in range(3):
+    for rep in range(1, 4):
+        # fresh key per rep: identical request payloads can be served from
+        # execution caches on relayed backends, overstating throughput
+        k = jax.random.PRNGKey(rep)
+        jax.block_until_ready(k)
         t0 = time.perf_counter()
-        out = train(params, state, key)
-        jax.block_until_ready(out)
+        out = train(params, state, k)
+        float(out[2])
         times.append((time.perf_counter() - t0) / chain)
-    return 1.0 / sorted(times)[1]
+    return 1.0 / min(times)
 
 
 def bench_family_nnz_per_sec(family: str, n: int, rank: int = 10) -> float:
-    """update+apply throughput on a flat n-parameter problem."""
+    """Sequential update+apply throughput on a flat n-parameter problem."""
     from psgd_tf_tpu.groups import base
 
     fam = base.FLAT_FAMILIES[family]
-    key = jax.random.PRNGKey(0)
-    if family == "lra":
-        state = fam.init(key, n, rank=rank)
-        nnz = 2 * n * rank + n
-    elif family == "splu":
-        state = fam.init(n, rank=rank)
-        nnz = 2 * n * rank + 2 * (n - rank)
-    elif family == "dense":
-        state = fam.init(n)
-        nnz = n * (n + 1) // 2
-    else:
-        state = fam.init(n)
-        nnz = n if family == "diag" else 2 * n
 
-    v = jax.random.normal(key, (n,))
-    h = jax.random.normal(jax.random.fold_in(key, 1), (n,))
-    g = jax.random.normal(jax.random.fold_in(key, 2), (n,))
+    def make_state(rep: int):
+        key = jax.random.PRNGKey(rep)
+        if family == "lra":
+            st = fam.init(key, n, rank=rank)
+        elif family == "splu":
+            st = fam.init(n, rank=rank)
+        else:
+            st = fam.init(n)
+        v = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+        h = jax.random.normal(jax.random.fold_in(key, 2), (n,))
+        return st, v, h, key
 
-    @jax.jit
-    def update_apply(state, v, h, g, key):
-        state = fam.update(state, v, h, step=0.01, key=key)
-        return state, fam.apply(state, g)
+    nnz = {
+        "lra": 2 * n * rank + n,
+        "splu": 2 * n * rank + 2 * (n - rank),
+        "dense": n * (n + 1) // 2,
+        "diag": n,
+        "xmat": 2 * n,
+    }[family]
 
-    dt = time_fn(update_apply, state, v, h, g, key, iters=50)
+    def step(carry):
+        st, v, h, key = carry
+        key = jax.random.fold_in(key, 7)
+        st = fam.update(st, v, h, step=1e-4, key=key)
+        pre = fam.apply(st, v)
+        # thread the apply result back so neither op is dead code
+        return st, v + 1e-30 * pre, h, key
+
+    dt = time_chained(step, make_state)
     return nnz / dt
 
 
