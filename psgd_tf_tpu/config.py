@@ -33,13 +33,34 @@ def _coerce(value: str, default: Any) -> Any:
         return int(value)
     if isinstance(default, float):
         return float(value)
+    if isinstance(default, str):
+        return value
     if default is None:
         # best effort: JSON literal, else raw string
         try:
             return json.loads(value)
         except json.JSONDecodeError:
             return value
-    return type(default)(value)
+    # structured default (NamedTuple / tuple / list / dict): parse JSON and
+    # rebuild the default's type — `type(default)(raw_string)` would mangle
+    parsed = json.loads(value)
+    if hasattr(default, "_fields"):  # NamedTuple
+        if not isinstance(parsed, Mapping):
+            raise ValueError(
+                f"expected a JSON object for {type(default).__name__}, got {value!r}"
+            )
+        return default._replace(**parsed)
+    if isinstance(default, (list, tuple)):
+        if not isinstance(parsed, list):
+            raise ValueError(f"expected a JSON array, got {value!r}")
+        return type(default)(parsed)
+    if isinstance(default, Mapping):
+        if not isinstance(parsed, Mapping):
+            raise ValueError(f"expected a JSON object, got {value!r}")
+        return dict(parsed)
+    raise ValueError(
+        f"cannot coerce {value!r} onto default of type {type(default).__name__}"
+    )
 
 
 def load(

@@ -44,9 +44,15 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _build():
-                return None
+        have_src = os.path.exists(_SRC)
+        stale = have_src and (
+            not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        )
+        if stale and not _build():
+            return None
+        if not os.path.exists(_SO):  # no binary and no way to build one
+            return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
@@ -78,10 +84,15 @@ def decode_idx_images(path: str, max_n: int = 1 << 31) -> np.ndarray:
     if lib is None:
         raise RuntimeError("native batcher unavailable")
     raw = np.frombuffer(_read_bytes(path), dtype=np.uint8)
+    # validate the header BEFORE sizing any allocation from it
+    if raw.size < 16 or int.from_bytes(raw[0:4].tobytes(), "big") != 2051:
+        raise ValueError(f"bad idx3 file: {path}")
     n_hdr = int.from_bytes(raw[4:8].tobytes(), "big")
     rows = int.from_bytes(raw[8:12].tobytes(), "big")
     cols = int.from_bytes(raw[12:16].tobytes(), "big")
     n = min(n_hdr, max_n)
+    if rows * cols <= 0 or raw.size < 16 + n * rows * cols:
+        raise ValueError(f"bad idx3 file: {path}")
     out = np.empty((n, rows * cols), np.float32)
     got = lib.psgd_decode_idx_images(
         raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -99,7 +110,11 @@ def decode_idx_labels(path: str, max_n: int = 1 << 31) -> np.ndarray:
     if lib is None:
         raise RuntimeError("native batcher unavailable")
     raw = np.frombuffer(_read_bytes(path), dtype=np.uint8)
+    if raw.size < 8 or int.from_bytes(raw[0:4].tobytes(), "big") != 2049:
+        raise ValueError(f"bad idx1 file: {path}")
     n = min(int.from_bytes(raw[4:8].tobytes(), "big"), max_n)
+    if raw.size < 8 + n:
+        raise ValueError(f"bad idx1 file: {path}")
     out = np.empty((n,), np.int32)
     got = lib.psgd_decode_idx_labels(
         raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

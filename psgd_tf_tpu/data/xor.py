@@ -48,5 +48,9 @@ def batch(
 
 
 def logistic_loss(logits: jax.Array, y: jax.Array) -> jax.Array:
-    """-mean log sigmoid(y * logit) (ref :46-47), in stable log1p form."""
-    return jnp.mean(jnp.log1p(jnp.exp(-y * logits)))
+    """-mean log sigmoid(y * logit), y in {-1, +1} (ref :46-47).
+
+    softplus form: `log1p(exp(z))` overflows fp32 for z > ~88, poisoning
+    gradients with inf/nan; softplus computes max(z, 0) + log1p(exp(-|z|)).
+    Shared by the lstm/rnn XOR models."""
+    return jnp.mean(jax.nn.softplus(-y * logits))

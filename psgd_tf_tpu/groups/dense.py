@@ -51,7 +51,12 @@ def update(
 
     q = state.Q
     n = q.shape[0]
-    if pallas_ops.enabled() and n <= pallas_ops.dense_upd.MAX_N:
+    if (
+        pallas_ops.enabled()
+        and q.dtype == jnp.float32  # kernel is fp32-only; XLA path below
+        #                           # serves half precision (ref Note 3)
+        and n <= pallas_ops.dense_upd.MAX_N
+    ):
         new_q = pallas_ops.dense_upd.fused_update(
             q, v, h, step, linalg.tiny(q.dtype)
         )

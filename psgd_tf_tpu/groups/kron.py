@@ -254,7 +254,11 @@ def update(
     s = jnp.asarray(step, jnp.result_type(ql))
 
     if fmt == ("dense", "dense"):
-        if pallas_ops.enabled() and max(dX.shape) <= pallas_ops.kron_dd.MAX_SIDE:
+        if (
+            pallas_ops.enabled()
+            and jnp.result_type(ql) == jnp.float32  # kernel is fp32-only
+            and max(dX.shape) <= pallas_ops.kron_dd.MAX_SIDE
+        ):
             # fused one-launch TPU kernel (ops/pallas/kron_dd.py)
             ql, qr = pallas_ops.kron_dd.fused_update(ql, qr, dX, dG, s, t)
         else:
@@ -302,7 +306,6 @@ def _factor_dense(fmt: Format, q: jax.Array) -> jax.Array:
     if fmt == "scale":
         return jnp.diag(q)
     # norm: diag(q[0]) with last column [q[1,:-1]; q[0,-1]]
-    d = q.shape[1]
     m = jnp.diag(q[0])
     return m.at[:-1, -1].set(q[1, :-1])
 

@@ -57,4 +57,6 @@ def apply(params, x: jax.Array) -> jax.Array:
 
 def loss(params, x: jax.Array, y: jax.Array) -> jax.Array:
     """Logistic loss -mean log sigmoid(y * logit), y in {-1, +1} (ref :46-47)."""
-    return jnp.mean(jnp.log1p(jnp.exp(-y * apply(params, x))))
+    from psgd_tf_tpu.data.xor import logistic_loss
+
+    return logistic_loss(apply(params, x), y)

@@ -126,10 +126,10 @@ def decode_step(params, tok: jax.Array, h: jax.Array, enc: jax.Array, src_mask: 
 def loss(params, src: jax.Array, tgt: jax.Array) -> jax.Array:
     """Masked teacher-forcing CE over the whole target (ref :162-167,
     :183-190): feed tgt[:, t], predict tgt[:, t+1], PAD masked."""
-    units = params[1].shape[1]
     src_mask = src != PAD
     enc = encode(params, src)
-    h0 = jnp.zeros((src.shape[0], units), enc.dtype)
+    # decoder starts from the encoder's LAST hidden state (ref :184, :219)
+    h0 = enc[:, -1, :]
 
     def step(h, tok):
         logits, h = decode_step(params, tok, h, enc, src_mask)

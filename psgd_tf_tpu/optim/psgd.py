@@ -34,18 +34,11 @@ import jax.flatten_util
 import jax.numpy as jnp
 
 from psgd_tf_tpu import hvp
-from psgd_tf_tpu.groups import dense, diag, kron, lra, splu, xmat
+from psgd_tf_tpu.groups import kron
+from psgd_tf_tpu.groups.base import FLAT_FAMILIES as _FLAT_FAMILIES
 from psgd_tf_tpu.ops import linalg
 
 PyTree = Any
-
-_FLAT_FAMILIES = {
-    "dense": dense,
-    "diag": diag,
-    "xmat": xmat,
-    "splu": splu,
-    "lra": lra,
-}
 
 
 @flax.struct.dataclass

@@ -8,11 +8,10 @@ the sharding annotations ARE the distributed implementation.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from psgd_tf_tpu.optim.psgd import PSGD, PSGDState
 from psgd_tf_tpu.parallel import policies

@@ -12,19 +12,25 @@ distributed arrays natively); restore with the same sharding policy via
 """
 from __future__ import annotations
 
+import importlib
 import os
 from typing import Any
 
 import jax
-import orbax.checkpoint as ocp
 
 Step = int
+
+
+def _ocp():
+    """Lazy orbax import so `import psgd_tf_tpu` (pure optimizer use)
+    never hard-requires the checkpointing dependency."""
+    return importlib.import_module("orbax.checkpoint")
 
 
 def save(directory: str, step: Step, train_state: Any, *, force: bool = False) -> None:
     """Write `train_state` (any pytree of arrays) under `directory/step`."""
     path = os.path.join(os.path.abspath(directory), str(step))
-    with ocp.StandardCheckpointer() as ckptr:
+    with _ocp().StandardCheckpointer() as ckptr:
         ckptr.save(path, train_state, force=force)
 
 
@@ -41,6 +47,7 @@ def restore(directory: str, step: Step | None = None, like: Any = None) -> Any:
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {directory}")
     path = os.path.join(directory, str(step))
+    ocp = _ocp()
     with ocp.StandardCheckpointer() as ckptr:
         if like is None:
             return ckptr.restore(path)
