@@ -28,7 +28,7 @@ reference's "Unknown Kronecker product preconditioner" refusal (ref :90).
 """
 from __future__ import annotations
 
-from typing import Literal
+from typing import Literal, Sequence
 
 import flax.struct
 import jax
@@ -297,6 +297,161 @@ def apply(state: KronState, G: jax.Array) -> jax.Array:
     if fmt == ("scale", "norm"):        # ref :146
         return _apply_ns(qr, ql, G.T).T
     raise ValueError(f"unsupported Kronecker format pair: {fmt}")
+
+
+# ---------------------------------------------------------------------------
+# batched (dense, dense) path — many small layers, one launch
+# ---------------------------------------------------------------------------
+# A model like LeNet5 carries five (dense, dense) pairs whose factors are
+# 6..257 wide. Updating them one-by-one costs ~12 dispatches per layer (or
+# one Pallas launch each), and at these sizes every dispatch is
+# latency-bound, not FLOP-bound. The batched path stores all such factors
+# *stacked and padded* — Ql: (B, S, S), Qr: (B, T, T), padded region held
+# at exact identity — so the whole zoo updates in ONE gridded Pallas launch
+# (ops/pallas/kron_dd.fused_update_batched) or one vmapped XLA op chain.
+#
+# Identity padding keeps everything exact: padded rows of dX/dG are zero,
+# so A and Bt vanish outside the (m, n) block, the group gradients vanish
+# outside (m, m)/(n, n), and `Q - step * grad @ Q` leaves the identity
+# extension untouched. Balancing maxima mask the padded diagonal.
+
+
+@flax.struct.dataclass
+class BatchedDDState:
+    """Stacked padded (dense, dense) factors for B layers.
+
+    ql[i] is the (S, S) upper-triangular left factor of layer i: the true
+    (m_i, m_i) factor in the top-left corner, exact identity beyond. Same
+    for qr with (T, T). `shapes` records the true per-layer (m_i, n_i).
+    """
+
+    ql: jax.Array  # (B, S, S)
+    qr: jax.Array  # (B, T, T)
+    shapes: tuple[tuple[int, int], ...] = flax.struct.field(
+        pytree_node=False, default=()
+    )
+
+
+def _pad_factor(q: jax.Array, side: int) -> jax.Array:
+    d = q.shape[0]
+    if d == side:
+        return q
+    out = jnp.zeros((side, side), q.dtype).at[:d, :d].set(q)
+    return out.at[jnp.arange(d, side), jnp.arange(d, side)].set(1.0)
+
+
+def init_batched(
+    shapes: tuple[tuple[int, int], ...],
+    init_scale: float = 1.0,
+    dtype=jnp.float32,
+    pad_multiple: int = 128,
+) -> BatchedDDState:
+    """Stacked identity init for B (dense, dense) layers (ref README.md:48)."""
+    S = max(-(-m // pad_multiple) * pad_multiple for m, _ in shapes)
+    T = max(-(-n // pad_multiple) * pad_multiple for _, n in shapes)
+    eye_s, eye_t = jnp.eye(S, dtype=dtype), jnp.eye(T, dtype=dtype)
+
+    def one(d, side, eye):
+        scale_vec = jnp.where(jnp.arange(side) < d, init_scale, 1.0).astype(dtype)
+        return eye * scale_vec[None, :]
+
+    ql = jnp.stack([one(m, S, eye_s) for m, _ in shapes])
+    qr = jnp.stack([one(n, T, eye_t) for _, n in shapes])
+    return BatchedDDState(ql=ql, qr=qr, shapes=tuple(map(tuple, shapes)))
+
+
+def stack_padded(mats: Sequence[jax.Array], S: int, T: int) -> jax.Array:
+    """Zero-pad each (m_i, n_i) matrix into an (S, T) slot and stack."""
+    out = jnp.zeros((len(mats), S, T), jnp.result_type(*mats))
+    for i, x in enumerate(mats):
+        out = out.at[i, : x.shape[0], : x.shape[1]].set(x)
+    return out
+
+
+def _update_dd_padded(Ql, Qr, dX, dG, m, n, step, t):
+    """_update_dd on one padded layer; m, n may be traced (vmap-friendly).
+
+    Ql: (S, S) identity-extended; dX/dG: (S, T) zero-padded.
+    """
+    S, T = Ql.shape[0], Qr.shape[0]
+    iS, iT = jnp.arange(S), jnp.arange(T)
+    max_l = jnp.max(jnp.where(iS < m, jnp.diagonal(Ql), -jnp.inf))
+    max_r = jnp.max(jnp.where(iT < n, jnp.diagonal(Qr), -jnp.inf))
+    rho = jnp.sqrt(max_l / max_r)
+    # rescale the valid block only; keep the identity extension exact
+    Qlb = jnp.where(iS[:, None] >= m, jnp.eye(S, dtype=Ql.dtype), Ql / rho)
+    Qrb = jnp.where(iT[:, None] >= n, jnp.eye(T, dtype=Qr.dtype), Qr * rho)
+
+    A = Qlb @ (dG @ Qrb.T)
+    Bt = linalg.solve_ut_t(Qlb, linalg.solve_ut_t(Qrb, dX.T).T)
+    grad1 = linalg.triu(A @ A.T - Bt @ Bt.T)
+    grad2 = linalg.triu(A.T @ A - Bt.T @ Bt)
+    step1 = step / (linalg.max_abs(grad1) + t)
+    step2 = step / (linalg.max_abs(grad2) + t)
+    return Qlb - step1 * (grad1 @ Qlb), Qrb - step2 * (grad2 @ Qrb)
+
+
+def update_batched(
+    state: BatchedDDState,
+    dXs: Sequence[jax.Array],
+    dGs: Sequence[jax.Array],
+    step: jax.Array | float = 0.01,
+    key: jax.Array | None = None,
+) -> BatchedDDState:
+    """One Lie-group step for every stacked layer, single launch."""
+    del key
+    from psgd_tf_tpu.ops import pallas as pallas_ops  # late: avoid cycle
+
+    B, S, _ = state.ql.shape
+    T = state.qr.shape[1]
+    dtype = jnp.result_type(state.ql)
+    t = linalg.tiny(dtype)
+    s = jnp.asarray(step, dtype)
+    dx = stack_padded(dXs, S, T)
+    dg = stack_padded(dGs, S, T)
+    ms = jnp.asarray([m for m, _ in state.shapes], jnp.int32)
+    ns = jnp.asarray([n for _, n in state.shapes], jnp.int32)
+
+    if (
+        pallas_ops.enabled()
+        and dtype == jnp.float32
+        and max(S, T) <= pallas_ops.kron_dd.MAX_SIDE
+    ):
+        ql, qr = pallas_ops.kron_dd.fused_update_batched(
+            state.ql, state.qr, dx, dg, ms, ns, s, t
+        )
+    else:
+        ql, qr = jax.vmap(
+            _update_dd_padded, in_axes=(0, 0, 0, 0, 0, 0, None, None)
+        )(state.ql, state.qr, dx, dg, ms, ns, s, t)
+    return state.replace(ql=ql, qr=qr)
+
+
+def apply_batched(
+    state: BatchedDDState, Gs: Sequence[jax.Array]
+) -> list[jax.Array]:
+    """P_i G_i for every stacked layer via batched matmuls."""
+    B, S, _ = state.ql.shape
+    T = state.qr.shape[1]
+    g = stack_padded(Gs, S, T)
+    # Ql^T (Ql (G (Qr^T Qr))): zero padding in G confines every product to
+    # the valid block, so no masking is needed before the final slice.
+    rr = jnp.einsum("bji,bjk->bik", state.qr, state.qr)
+    pre = jnp.einsum("bji,bjk->bik", state.ql,
+                     jnp.einsum("bij,bjk->bik", state.ql,
+                                jnp.einsum("bij,bjk->bik", g, rr)))
+    return [pre[i, :m, :n] for i, (m, n) in enumerate(state.shapes)]
+
+
+def unbatch(state: BatchedDDState) -> list[KronState]:
+    """Per-layer views of a batched state (tests / interop)."""
+    return [
+        KronState(
+            ql=state.ql[i, :m, :m], qr=state.qr[i, :n, :n],
+            fmt=("dense", "dense"),
+        )
+        for i, (m, n) in enumerate(state.shapes)
+    ]
 
 
 def _factor_dense(fmt: Format, q: jax.Array) -> jax.Array:

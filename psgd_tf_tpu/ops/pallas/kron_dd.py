@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from psgd_tf_tpu.ops.pallas import tri as tri_mod
 from psgd_tf_tpu.ops.pallas.tri import BS, _eye, _newton_inv
 
 # VMEM budget: the kernel holds ~9 (side, side) fp32 arrays live (factors,
@@ -54,9 +55,9 @@ def _left_solve_t(q, b, nb_rows):
         acc = b[i * BS : (i + 1) * BS, :]
         for j in range(i):
             mij = _blk(q, j, i).T  # (Q^T)[i, j] = Q[j, i]^T
-            acc = acc - jnp.dot(mij, rows[j], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+            acc = acc - jnp.dot(mij, rows[j], preferred_element_type=jnp.float32, precision=tri_mod.SOLVE_PRECISION)
         inv = _newton_inv(_blk(q, i, i).T, BS)
-        rows.append(jnp.dot(inv, acc, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST))
+        rows.append(jnp.dot(inv, acc, preferred_element_type=jnp.float32, precision=tri_mod.SOLVE_PRECISION))
     return jnp.concatenate(rows, axis=0) if nb_rows > 1 else rows[0]
 
 
@@ -69,10 +70,10 @@ def _right_solve(q, b, nb_cols):
             acc = acc - jnp.dot(
                 cols[k], _blk(q, k, j),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=tri_mod.SOLVE_PRECISION,
             )
         inv = _newton_inv(_blk(q, j, j), BS)
-        cols.append(jnp.dot(acc, inv, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST))
+        cols.append(jnp.dot(acc, inv, preferred_element_type=jnp.float32, precision=tri_mod.SOLVE_PRECISION))
     return jnp.concatenate(cols, axis=1) if nb_cols > 1 else cols[0]
 
 
@@ -88,8 +89,10 @@ def _triu_mask(x):
     return jnp.where(r <= c, x, 0.0)
 
 
-def _kernel(ql_ref, qr_ref, dx_ref, dg_ref, s_ref, newql_ref, newqr_ref,
-            *, m, n, mp, np_, tiny):
+def _update_body(ql, qr, dx, dg, m, n, step, mp, np_, tiny):
+    """The full (dense, dense) update on padded values. m, n may be traced
+    (the batched kernel reads them per-program from SMEM); mp, np_ are the
+    static padded sides. Returns (newql, newqr)."""
     # Statistical GEMMs (A, Grams, updates) run at default MXU precision —
     # matching the XLA baseline path, whose matmuls are bf16 on TPU. Only
     # the solves (in _left_solve_t/_right_solve via _newton_inv) pin
@@ -101,10 +104,6 @@ def _kernel(ql_ref, qr_ref, dx_ref, dg_ref, s_ref, newql_ref, newqr_ref,
     dott = lambda a, b: jax.lax.dot_general(  # a @ b^T
         a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-
-    step = s_ref[0, 0]
-    ql, qr = ql_ref[:], qr_ref[:]
-    dx, dg = dx_ref[:], dg_ref[:]
 
     # dynamic-range balancing (ref :166-170), padding masked out
     rho = jnp.sqrt(_masked_diag_max(ql, m, mp) / _masked_diag_max(qr, n, np_))
@@ -127,8 +126,15 @@ def _kernel(ql_ref, qr_ref, dx_ref, dg_ref, s_ref, newql_ref, newqr_ref,
     step1 = step / (jnp.max(jnp.abs(grad1)) + tiny)
     step2 = step / (jnp.max(jnp.abs(grad2)) + tiny)
 
-    newql_ref[:] = ql_b - step1 * dot(grad1, ql_b)
-    newqr_ref[:] = qr_b - step2 * dot(grad2, qr_b)
+    return ql_b - step1 * dot(grad1, ql_b), qr_b - step2 * dot(grad2, qr_b)
+
+
+def _kernel(ql_ref, qr_ref, dx_ref, dg_ref, s_ref, newql_ref, newqr_ref,
+            *, m, n, mp, np_, tiny):
+    newql_ref[:], newqr_ref[:] = _update_body(
+        ql_ref[:], qr_ref[:], dx_ref[:], dg_ref[:],
+        m, n, s_ref[0, 0], mp, np_, tiny,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
@@ -183,3 +189,69 @@ def fused_update(
         interpret=interpret,
     )(pad_q(ql, mp), pad_q(qr, np_), pad_m(dx), pad_m(dg), s)
     return new_ql[:m, :m], new_qr[:n, :n]
+
+
+def _batched_kernel(mn_ref, s_ref, ql_ref, qr_ref, dx_ref, dg_ref,
+                    newql_ref, newqr_ref, *, S, T, tiny):
+    i = pl.program_id(0)
+    newql, newqr = _update_body(
+        ql_ref[0], qr_ref[0], dx_ref[0], dg_ref[0],
+        mn_ref[i, 0], mn_ref[i, 1], s_ref[0], S, T, tiny,
+    )
+    newql_ref[0] = newql
+    newqr_ref[0] = newqr
+
+
+@functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
+def fused_update_batched(
+    ql: jax.Array,       # (B, S, S) identity-extended beyond each layer's m
+    qr: jax.Array,       # (B, T, T)
+    dx: jax.Array,       # (B, S, T) zero-padded
+    dg: jax.Array,       # (B, S, T)
+    ms: jax.Array,       # (B,) int32 true left sizes
+    ns: jax.Array,       # (B,) int32 true right sizes
+    step: jax.Array | float,
+    tiny: float,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """All B (dense, dense) layer updates in ONE gridded launch.
+
+    Grid = (B,); program i pulls layer i's padded blocks into VMEM and runs
+    the same fused body as `fused_update`, with the true (m, n) read from a
+    scalar-prefetched SMEM table. Block fetches pipeline across programs,
+    so the per-launch cost is paid once for the whole layer zoo instead of
+    once per layer (groups/kron.py batched path).
+    """
+    B, S, _ = ql.shape
+    T = qr.shape[1]
+    if max(S, T) > MAX_SIDE:
+        raise ValueError(f"fused kron_dd cap is side <= {MAX_SIDE}")
+    if S % BS or T % BS:
+        raise ValueError(f"padded sides must be multiples of {BS}")
+    mn = jnp.stack([ms.astype(jnp.int32), ns.astype(jnp.int32)], axis=1)
+    s = jnp.asarray(step, ql.dtype).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # mn table + step scalar
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S, S), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, T, T), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, S, T), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, S, T), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, S, S), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, T, T), lambda i, *_: (i, 0, 0)),
+        ),
+    )
+    new_ql, new_qr = pl.pallas_call(
+        functools.partial(_batched_kernel, S=S, T=T, tiny=tiny),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, S), ql.dtype),
+            jax.ShapeDtypeStruct((B, T, T), qr.dtype),
+        ),
+        interpret=interpret,
+    )(mn, s, ql, qr, dx, dg)
+    return new_ql, new_qr

@@ -28,6 +28,14 @@ from jax.experimental.pallas import tpu as pltpu
 BS = 128
 MAX_N = 768  # VMEM cap for the single-launch kernel (measured: 1024 OOMs the 16MB scoped vmem)
 
+# Precision for the solve GEMMs (Newton inverses + block substitution):
+# HIGHEST = bf16x6, error-free fp32 emulation on the MXU. Substitution
+# amplifies rounding, so solves stay exact while statistical GEMMs run
+# default bf16 (docs/design.md). Precision.HIGH (bf16x3) was tried as a
+# cheaper option and crashes pallas lowering on this jax version
+# (mlir closed_call cache KeyError), so it is not exposed as a knob.
+SOLVE_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -45,8 +53,8 @@ def _newton_inv(a: jax.Array, bs: int) -> jax.Array:
     d = jnp.sum(a * eye, axis=1)  # diagonal (gather-free)
     x = eye * (1.0 / d)[:, None]
     for _ in range(max(1, math.ceil(math.log2(bs)))):
-        ax = jnp.dot(a, x, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-        x = jnp.dot(x, 2.0 * eye - ax, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        ax = jnp.dot(a, x, preferred_element_type=jnp.float32, precision=SOLVE_PRECISION)
+        x = jnp.dot(x, 2.0 * eye - ax, preferred_element_type=jnp.float32, precision=SOLVE_PRECISION)
     return x
 
 
@@ -72,13 +80,13 @@ def _solve_kernel(q_ref, b_ref, out_ref, *, nb: int, lower: bool, trans: bool):
             acc = acc - jnp.dot(
                 mblock(i, j),
                 out_ref[j * BS : (j + 1) * BS, :],
-                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32, precision=SOLVE_PRECISION,
             )
         inv = _newton_inv(mblock(i, i), BS)
         out_ref[i * BS : (i + 1) * BS, :] = jnp.dot(
             inv, acc,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=SOLVE_PRECISION,
         )
         done.append(i)
 

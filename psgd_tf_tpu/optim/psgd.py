@@ -55,7 +55,31 @@ class Hyper:
 class PSGDState:
     count: jax.Array
     hyper: Hyper
-    precond: Any  # family state (flat families) or list[KronState] (kron)
+    precond: Any  # family state (flat families), list[KronState] (kron),
+    #             # or KronPrecond (kron with the batched dd group)
+
+
+@flax.struct.dataclass
+class KronPrecond:
+    """Kron state with eligible (dense, dense) layers grouped for batching.
+
+    `batches` holds one stacked BatchedDDState per *bucket* — layers whose
+    128-padded factor sides agree — so each bucket updates in one gridded
+    launch with tight padding (no wasted solve blocks on small layers).
+    `singles` holds the remaining layers' per-layer states, including
+    buckets below the kron_batch_min crossover. The index tuples map each
+    group back to parameter-tree leaf order and are static (part of the
+    treedef).
+    """
+
+    batches: list
+    singles: list
+    batched_idx: tuple[tuple[int, ...], ...] = flax.struct.field(
+        pytree_node=False, default=()
+    )
+    single_idx: tuple[int, ...] = flax.struct.field(
+        pytree_node=False, default=()
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,6 +96,19 @@ class PSGD:
     #                                   # | [per-leaf (fmt_l, fmt_r), ...] in tree-leaf
     #                                   # order (the reference's per-layer mixed
     #                                   # assignment, e.g. nmt ref :99-148)
+    kron_batched: bool = True           # stack same-padded-size (dense,dense)
+    #                                   # layers and update each bucket in one
+    #                                   # gridded launch (groups/kron.py batched
+    #                                   # path); numerically equivalent to the
+    #                                   # per-layer ops (~1e-7 over 20 steps)
+    kron_batch_min: int = 4             # min layers per bucket to batch: at 3
+    #                                   # heterogeneous LeNet5-size layers the
+    #                                   # stacked probes' extra HBM round trip
+    #                                   # loses to per-layer fused launches
+    #                                   # (measured ~184 vs ~167 us/step); from
+    #                                   # ~6 same-shape layers batching wins
+    #                                   # (127 vs 142 us at B=6, 497 vs 645 us
+    #                                   # at B=24, (200,256) factors, v5e)
     dtype: Any = jnp.float32
 
     # ------------------------------------------------------------------ init
@@ -120,17 +157,57 @@ class PSGD:
             return fmts[index]
         return tuple(fmts)
 
-    def _init_kron(self, params: PyTree) -> list[kron.KronState]:
+    def _init_kron(self, params: PyTree):
+        from psgd_tf_tpu.ops.pallas import kron_dd
+
         leaves = jax.tree_util.tree_leaves(params)
-        return [
-            kron.init(
-                _matrix_shape(leaf.shape),
-                fmt=self._leaf_format(_matrix_shape(leaf.shape), i, len(leaves)),
-                init_scale=self.init_scale,
-                dtype=self.dtype,
-            )
-            for i, leaf in enumerate(leaves)
+        shapes = [_matrix_shape(leaf.shape) for leaf in leaves]
+        fmts = [
+            tuple(self._leaf_format(s, i, len(leaves)))
+            for i, s in enumerate(shapes)
         ]
+        pad = lambda d: -(-d // 128) * 128
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i, (s, f) in enumerate(zip(shapes, fmts)):
+            if f == ("dense", "dense") and max(s) <= kron_dd.MAX_SIDE:
+                buckets.setdefault((pad(s[0]), pad(s[1])), []).append(i)
+        # only buckets with enough members amortize a gridded launch (see
+        # kron_batch_min above for the measured crossover)
+        batched_idx = tuple(
+            tuple(idx)
+            for idx in buckets.values()
+            if len(idx) >= max(2, self.kron_batch_min)
+        )
+        if (
+            not self.kron_batched
+            or not batched_idx
+            or jnp.dtype(self.dtype) != jnp.float32
+        ):
+            return [
+                kron.init(s, fmt=f, init_scale=self.init_scale, dtype=self.dtype)
+                for s, f in zip(shapes, fmts)
+            ]
+        in_batch = {i for idx in batched_idx for i in idx}
+        single_idx = tuple(i for i in range(len(leaves)) if i not in in_batch)
+        return KronPrecond(
+            batches=[
+                kron.init_batched(
+                    tuple(shapes[i] for i in idx),
+                    init_scale=self.init_scale,
+                    dtype=self.dtype,
+                )
+                for idx in batched_idx
+            ],
+            singles=[
+                kron.init(
+                    shapes[i], fmt=fmts[i],
+                    init_scale=self.init_scale, dtype=self.dtype,
+                )
+                for i in single_idx
+            ],
+            batched_idx=batched_idx,
+            single_idx=single_idx,
+        )
 
     # ------------------------------------------------------------------ step
 
@@ -241,18 +318,36 @@ class PSGD:
                     loss, grads, hvs = hvp.exact(loss_fn, params, v, *args)
                 else:
                     loss, grads, hvs = hvp.finite_diff(loss_fn, params, v, *args)
-            v_leaves = treedef.flatten_up_to(v)
-            h_leaves = treedef.flatten_up_to(hvs)
+            v_leaves = [_as_matrix(x) for x in treedef.flatten_up_to(v)]
+            h_leaves = [_as_matrix(x) for x in treedef.flatten_up_to(hvs)]
             with jax.named_scope("psgd_q_update"):
-                precond = [
-                    kron.update(
-                        ks,
-                        _as_matrix(vl),
-                        _as_matrix(hl),
-                        step=hyper.lr_preconditioner,
+                pc = state.precond
+                if isinstance(pc, KronPrecond):
+                    precond = pc.replace(
+                        batches=[
+                            kron.update_batched(
+                                bst,
+                                [v_leaves[i] for i in idx],
+                                [h_leaves[i] for i in idx],
+                                step=hyper.lr_preconditioner,
+                            )
+                            for bst, idx in zip(pc.batches, pc.batched_idx)
+                        ],
+                        singles=[
+                            kron.update(
+                                ks, v_leaves[i], h_leaves[i],
+                                step=hyper.lr_preconditioner,
+                            )
+                            for ks, i in zip(pc.singles, pc.single_idx)
+                        ],
                     )
-                    for ks, vl, hl in zip(state.precond, v_leaves, h_leaves)
-                ]
+                else:
+                    precond = [
+                        kron.update(
+                            ks, vl, hl, step=hyper.lr_preconditioner
+                        )
+                        for ks, vl, hl in zip(pc, v_leaves, h_leaves)
+                    ]
             return loss, grads, precond
 
         def step_without(_):
@@ -267,10 +362,23 @@ class PSGD:
         if self.preconditioner == "kron":
             treedef = jax.tree_util.tree_structure(params)
             g_leaves = treedef.flatten_up_to(grads)
-            pre = [
-                kron.apply(ks, _as_matrix(g)).reshape(g.shape)
-                for ks, g in zip(precond, g_leaves)
-            ]
+            if isinstance(precond, KronPrecond):
+                pre = [None] * len(g_leaves)
+                for bst, idx in zip(precond.batches, precond.batched_idx):
+                    batched_pre = kron.apply_batched(
+                        bst, [_as_matrix(g_leaves[i]) for i in idx]
+                    )
+                    for i, p in zip(idx, batched_pre):
+                        pre[i] = p.reshape(g_leaves[i].shape)
+                for ks, i in zip(precond.singles, precond.single_idx):
+                    pre[i] = kron.apply(ks, _as_matrix(g_leaves[i])).reshape(
+                        g_leaves[i].shape
+                    )
+            else:
+                pre = [
+                    kron.apply(ks, _as_matrix(g)).reshape(g.shape)
+                    for ks, g in zip(precond, g_leaves)
+                ]
             return jax.tree_util.tree_unflatten(treedef, pre)
         fam = _FLAT_FAMILIES[self.preconditioner]
         g_flat, unravel = jax.flatten_util.ravel_pytree(grads)

@@ -27,7 +27,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from psgd_tf_tpu.groups import dense, diag, lra, splu, xmat
-from psgd_tf_tpu.optim.psgd import PSGDState
+from psgd_tf_tpu.optim.psgd import KronPrecond, PSGDState
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -60,6 +60,10 @@ def precond_sharding(mesh: Mesh, precond: Any) -> Any:
         return type(precond)(
             jax.tree_util.tree_map(lambda _: rep, ks) for ks in precond
         )
+    if isinstance(precond, KronPrecond):
+        # kron with the batched dd group: small factors, replicate all —
+        # the stacked (B, S, S) factors are still tiny vs model state
+        return jax.tree_util.tree_map(lambda _: rep, precond)
     raise TypeError(f"no sharding policy for {type(precond)!r}")
 
 
