@@ -29,35 +29,65 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_chained(step_fn, make_state, iters: int = 30, reps: int = 3):
-    """Per-iteration wall time of `state -> state` chained `iters` times
-    inside ONE jitted lax.scan — sequential data dependencies make this an
-    honest device-throughput measure (independent repeated dispatches
-    overlap in the pipeline and can be served from request caches, both of
-    which overstate throughput). Each rep uses fresh inputs."""
+def _sync(out) -> float:
+    # fetch an actual VALUE: on relayed/async backends block_until_ready
+    # can complete before the device finishes, so a device->host read of a
+    # result element is the only hard barrier
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(leaf.reshape(-1)[0])
 
-    @jax.jit
-    def run(state):
-        return jax.lax.scan(
-            lambda c, _: (step_fn(c), None), state, None, length=iters
-        )[0]
 
-    def sync(out) -> float:
-        # fetch an actual VALUE: on relayed/async backends
-        # block_until_ready can complete before the device finishes, so a
-        # device->host read of a result element is the only hard barrier
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        return float(leaf.reshape(-1)[0])
+def time_chained(step_fn, make_state, iters: int = 100, reps: int = 3):
+    """Per-iteration *device* time of `state -> state`, measured as the
+    slope between a short and a long scan-chained execution.
 
-    sync(run(make_state(0)))
-    times = []
+    Chaining iterations through one lax.scan makes the measurement honest
+    against dispatch pipelining and request caches (sequential data
+    dependencies; fresh inputs per rep). But a single execution also pays a
+    fixed host->device round-trip — measured ~23 ms through this TPU tunnel,
+    which at iters=200 would pollute every per-iteration figure by >100 us.
+    Timing the SAME body at two chain lengths and taking
+    (t_long - t_short) / (iters_long - iters_short) cancels the fixed cost;
+    a trivial scan body measures ~1.5 us/iter this way (vs ~120 us/iter
+    naively at length 200)."""
+
+    def build(length):
+        @jax.jit
+        def run(state):
+            return jax.lax.scan(
+                lambda c, _: (step_fn(c), None), state, None, length=length
+            )[0]
+        return run
+
+    # Adapt the chain length so the long run dwarfs the ~25ms round-trip
+    # noise: a cheap body (tens of us) at iters=100 would otherwise hand
+    # the slope over to tunnel jitter. Estimate per-iter cost from a warm
+    # short run, then size the long chain to >= ~0.4s of device work.
+    short = iters
+    run_s = build(short)
+    _sync(run_s(make_state(0)))
+    t0 = time.perf_counter()
+    _sync(run_s(make_state(99)))
+    est = max((time.perf_counter() - t0 - 0.023) / short, 1e-7)
+    long_ = min(max(5 * short, int(0.4 / est)), 50 * short)
+    run_l = build(long_)
+    _sync(run_l(make_state(0)))
+
+    slopes = []
     for rep in range(1, reps + 1):
         state = make_state(rep)
         jax.block_until_ready(state)
         t0 = time.perf_counter()
-        sync(run(state))
-        times.append((time.perf_counter() - t0) / iters)
-    return min(times)
+        _sync(run_s(state))
+        t_s = time.perf_counter() - t0
+        state = make_state(rep + 100)
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        _sync(run_l(state))
+        t_l = time.perf_counter() - t0
+        slopes.append((t_l - t_s) / (long_ - short))
+    slopes.sort()
+    return slopes[len(slopes) // 2]  # median: robust to tunnel jitter
 
 
 def bench_lenet5_steps_per_sec(batch_size: int = 64, chain: int = 200) -> float:
@@ -83,34 +113,43 @@ def bench_lenet5_steps_per_sec(batch_size: int = 64, chain: int = 200) -> float:
     xs = xs.reshape(8, batch_size, 28, 28, 1)
     ys = ys.reshape(8, batch_size)
 
-    @jax.jit
-    def train(params, state, key):
-        def body(carry, i):
-            params, state, key = carry
-            key, sub = jax.random.split(key)
-            p, s, aux = opt.step(
-                lenet5.loss, params, state, sub, xs[i % 8], ys[i % 8]
+    def build(length):
+        @jax.jit
+        def train(params, state, key):
+            def body(carry, i):
+                params, state, key = carry
+                key, sub = jax.random.split(key)
+                p, s, aux = opt.step(
+                    lenet5.loss, params, state, sub, xs[i % 8], ys[i % 8]
+                )
+                return (p, s, key), aux["loss"]
+
+            (params, state, _), losses = jax.lax.scan(
+                body, (params, state, key), jnp.arange(length)
             )
-            return (p, s, key), aux["loss"]
+            return params, state, losses[-1]
+        return train
 
-        (params, state, _), losses = jax.lax.scan(
-            body, (params, state, key), jnp.arange(chain)
-        )
-        return params, state, losses[-1]
-
-    out = train(params, state, key)
-    float(out[2])  # hard sync (see time_chained)
-    times = []
+    short, long_ = chain, 5 * chain
+    run_s, run_l = build(short), build(long_)
+    float(run_s(params, state, key)[2])  # warm both compiles; hard sync
+    float(run_l(params, state, key)[2])
+    slopes = []
     for rep in range(1, 4):
         # fresh key per rep: identical request payloads can be served from
-        # execution caches on relayed backends, overstating throughput
-        k = jax.random.PRNGKey(rep)
-        jax.block_until_ready(k)
+        # execution caches on relayed backends, overstating throughput.
+        # Slope between short and long chains cancels the fixed per-execution
+        # tunnel round-trip (see time_chained).
+        k1, k2 = jax.random.PRNGKey(rep), jax.random.PRNGKey(rep + 100)
+        jax.block_until_ready((k1, k2))
         t0 = time.perf_counter()
-        out = train(params, state, k)
-        float(out[2])
-        times.append((time.perf_counter() - t0) / chain)
-    return 1.0 / min(times)
+        float(run_s(params, state, k1)[2])
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run_l(params, state, k2)[2])
+        t_l = time.perf_counter() - t0
+        slopes.append((t_l - t_s) / (long_ - short))
+    return 1.0 / min(s for s in slopes if s > 0)
 
 
 def bench_family_nnz_per_sec(family: str, n: int, rank: int = 10) -> float:

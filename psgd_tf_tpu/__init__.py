@@ -18,11 +18,13 @@ Public surface:
 from psgd_tf_tpu import hvp, utils
 from psgd_tf_tpu.groups import dense, diag, kron, lra, splu, xmat
 from psgd_tf_tpu.optim.psgd import PSGD, PSGDState, Hyper
+from psgd_tf_tpu.optim.uvd import UVd
 
 __version__ = "0.1.0"
 
 __all__ = [
     "PSGD",
+    "UVd",
     "PSGDState",
     "Hyper",
     "hvp",
