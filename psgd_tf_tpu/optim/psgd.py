@@ -57,6 +57,13 @@ class PSGDState:
     hyper: Hyper
     precond: Any  # family state (flat families), list[KronState] (kron),
     #             # or KronPrecond (kron with the batched dd group)
+    always_update: bool = flax.struct.field(pytree_node=False, default=False)
+    # static: True when the ctor's preconditioner_update_probability >= 1.0
+    # compiled the coin-flip branch out (the loss graph then compiles once,
+    # not twice). `set_hyper(update_probability=...)` raises on such a
+    # state instead of being silently ignored (ref :679, :703 allows
+    # `.assign` at any time); flip it via `state.replace(
+    # always_update=False)` (one recompile) to re-enable the coin.
 
 
 @flax.struct.dataclass
@@ -140,7 +147,12 @@ class PSGD:
                 precond = fam.init(n, rank=self.rank, init_scale=self.init_scale, dtype=self.dtype)
             else:
                 precond = fam.init(n, init_scale=self.init_scale, dtype=self.dtype)
-        return PSGDState(count=jnp.zeros((), jnp.int32), hyper=hyper, precond=precond)
+        return PSGDState(
+            count=jnp.zeros((), jnp.int32),
+            hyper=hyper,
+            precond=precond,
+            always_update=self.preconditioner_update_probability >= 1.0,
+        )
 
     def _leaf_format(self, shape: tuple[int, int], index: int, n_leaves: int):
         if isinstance(self.kron_formats, str) and self.kron_formats == "auto":
@@ -232,11 +244,11 @@ class PSGD:
                 loss_fn, params, state, k_probe, k_prec, args
             )
 
-        if self.preconditioner_update_probability >= 1.0:
+        if state.always_update:
             # Statically always-update: skip the coin-flip cond so the loss
-            # graph compiles once, not twice. Consequence: scheduling
-            # update_probability via set_hyper only takes effect when the
-            # optimizer was constructed with a probability < 1.0.
+            # graph compiles once, not twice. set_hyper raises (rather than
+            # silently no-ops) if asked to schedule update_probability on
+            # such a state.
             loss, grads, precond = step_with(None)
         else:
             do_update = (
@@ -263,7 +275,10 @@ class PSGD:
             lambda p, g: p - lr * g.astype(p.dtype), params, pre_grads
         )
         new_state = PSGDState(
-            count=state.count + 1, hyper=hyper, precond=precond
+            count=state.count + 1,
+            hyper=hyper,
+            precond=precond,
+            always_update=state.always_update,
         )
         grad_sq = sum(
             jnp.sum(g * g) for g in jax.tree_util.tree_leaves(grads)
@@ -389,7 +404,21 @@ class PSGD:
     @staticmethod
     def set_hyper(state: PSGDState, **kwargs) -> PSGDState:
         """Reschedule hyperparameters mid-run without recompiling
-        (the reference's `.assign` feature, ref :660-661)."""
+        (the reference's `.assign` feature, ref :660-661).
+
+        Scheduling `update_probability` requires the coin-flip branch to be
+        compiled in: raises on an always-update state (constructed with
+        probability >= 1.0) instead of being silently ignored.
+        """
+        if "update_probability" in kwargs and state.always_update:
+            raise ValueError(
+                "update_probability cannot be scheduled on an always-update "
+                "state: the optimizer was constructed with "
+                "preconditioner_update_probability >= 1.0, which compiles "
+                "the coin-flip branch out. Construct PSGD with a "
+                "probability < 1.0, or opt into one recompile with "
+                "state.replace(always_update=False) first."
+            )
         hyper = state.hyper
         for name, value in kwargs.items():
             field_val = getattr(hyper, name)

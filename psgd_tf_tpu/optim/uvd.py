@@ -134,12 +134,15 @@ class UVd:
 
     @preconditioner_update_probability.setter
     def preconditioner_update_probability(self, v):
-        if self._opt.preconditioner_update_probability >= 1.0 and v < 1.0:
+        if self._state.always_update:
+            if v >= 1.0:
+                return  # still always-update: the compiled branch is right
             # constructed always-update: the coin-flip branch was compiled
-            # out (optim/psgd.py), so re-enable it statically
+            # out (optim/psgd.py), so re-enable it statically (one recompile)
             self._opt = dataclasses.replace(
                 self._opt, preconditioner_update_probability=float(v)
             )
+            self._state = self._state.replace(always_update=False)
             self._jitted.clear()
         self._set_hyper(update_probability=v)
 

@@ -129,6 +129,38 @@ def test_update_probability_freezes_preconditioner():
     assert int(s.count) == 10
 
 
+def test_update_probability_schedulable_when_coin_compiled():
+    """Constructed with probability < 1, set_hyper reschedules the coin live
+    (ref allows .assign at any time, ref :679, :703)."""
+    opt = psgd.PSGD(preconditioner="lra", rank=2,
+                    preconditioner_update_probability=0.5)
+    params = rosenbrock.init()
+    state = opt.init(params, jax.random.PRNGKey(0))
+    assert not state.always_update
+    state = psgd.PSGD.set_hyper(state, update_probability=1e-9)
+    step = jax.jit(partial(opt.step, rosenbrock.loss))
+    key = jax.random.PRNGKey(5)
+    s = state
+    for _ in range(10):
+        key, sub = jax.random.split(key)
+        params, s, _ = step(params, s, sub)
+    assert jnp.array_equal(s.precond.U, state.precond.U)  # coin ~never fires
+
+
+def test_update_probability_raises_on_always_update_state():
+    """Constructed always-update (prob >= 1), the coin branch is compiled
+    out; scheduling it must raise loudly, not silently no-op."""
+    opt = psgd.PSGD(preconditioner="diag")  # default prob = 1.0
+    state = opt.init(rosenbrock.init(), jax.random.PRNGKey(0))
+    assert state.always_update
+    with pytest.raises(ValueError, match="always-update"):
+        psgd.PSGD.set_hyper(state, update_probability=0.5)
+    # the documented opt-in: flip the static flag (one recompile), then it works
+    state = state.replace(always_update=False)
+    state = psgd.PSGD.set_hyper(state, update_probability=0.5)
+    assert jnp.isclose(state.hyper.update_probability, 0.5)
+
+
 def test_kron_per_leaf_formats_validated():
     params = [jnp.zeros((4, 3)), jnp.zeros((5, 2))]
     with pytest.raises(ValueError, match="2 parameter tensors"):

@@ -74,6 +74,24 @@ def test_exact_to_fd_switch_mid_run():
     assert float(loss) < 1e-2
 
 
+def test_update_probability_switch_mid_run():
+    # ref :679,:703: update_probability is .assign-able any time. The class
+    # wrapper re-enables the compiled-out coin branch transparently.
+    A, b, params = _setup(jax.random.PRNGKey(10))
+    opt = UVd(params, rank_of_modification=3, key=jax.random.PRNGKey(11))
+    closure = _quad_closure(A, b)
+    opt.step(closure)
+    U_before = opt.state.precond.U
+    opt.preconditioner_update_probability = 1e-9  # freeze Q from here on
+    for _ in range(5):
+        opt.step(closure)
+    assert jnp.array_equal(opt.state.precond.U, U_before)
+    opt.preconditioner_update_probability = 0.9  # live again, no rebuild
+    for _ in range(20):
+        opt.step(closure)
+    assert not jnp.array_equal(opt.state.precond.U, U_before)
+
+
 def test_matches_functional_psgd_trajectory():
     # same coins + same probes => the class wrapper IS the functional
     # optimizer; verify the wrapper adds no drift
