@@ -52,13 +52,20 @@ def update(
     q = state.Q
     n = q.shape[0]
     if (
-        pallas_ops.enabled()
+        pallas_ops.kernels_active()
         and q.dtype == jnp.float32  # kernel is fp32-only; XLA path below
         #                           # serves half precision (ref Note 3)
         and n <= pallas_ops.dense_upd.MAX_N
     ):
-        new_q = pallas_ops.dense_upd.fused_update(
-            q, v, h, step, linalg.tiny(q.dtype)
+        # under a mesh, Q at this size is replicated by policy (<= MAX_N,
+        # parallel/policies.py), so the kernel runs per-device via the
+        # all-replicated shard_map wrap
+        new_q = pallas_ops.replicated_call(
+            lambda *a: pallas_ops.dense_upd.fused_update(
+                *a, linalg.tiny(q.dtype),
+                interpret=pallas_ops.interpret_default(),
+            ),
+            q, v, h, step,
         )
         return DenseState(Q=new_q)
     a = q @ h

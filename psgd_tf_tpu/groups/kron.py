@@ -255,12 +255,20 @@ def update(
 
     if fmt == ("dense", "dense"):
         if (
-            pallas_ops.enabled()
+            pallas_ops.kernels_active()
             and jnp.result_type(ql) == jnp.float32  # kernel is fp32-only
             and max(dX.shape) <= pallas_ops.kron_dd.MAX_SIDE
         ):
-            # fused one-launch TPU kernel (ops/pallas/kron_dd.py)
-            ql, qr = pallas_ops.kron_dd.fused_update(ql, qr, dX, dG, s, t)
+            # fused one-launch TPU kernel (ops/pallas/kron_dd.py). Under a
+            # mesh the factors are replicated by policy, so the kernel runs
+            # per-device via the all-replicated shard_map wrap (interpreted
+            # off-TPU, i.e. on the virtual CPU test mesh).
+            ql, qr = pallas_ops.replicated_call(
+                lambda *a: pallas_ops.kron_dd.fused_update(
+                    *a, t, interpret=pallas_ops.interpret_default()
+                ),
+                ql, qr, dX, dG, s,
+            )
         else:
             ql, qr = _update_dd(ql, qr, dX, dG, s, t)
     elif fmt == ("norm", "dense"):
@@ -413,12 +421,15 @@ def update_batched(
     ns = jnp.asarray([n for _, n in state.shapes], jnp.int32)
 
     if (
-        pallas_ops.enabled()
+        pallas_ops.kernels_active()
         and dtype == jnp.float32
         and max(S, T) <= pallas_ops.kron_dd.MAX_SIDE
     ):
-        ql, qr = pallas_ops.kron_dd.fused_update_batched(
-            state.ql, state.qr, dx, dg, ms, ns, s, t
+        ql, qr = pallas_ops.replicated_call(
+            lambda *a: pallas_ops.kron_dd.fused_update_batched(
+                *a, t, interpret=pallas_ops.interpret_default()
+            ),
+            state.ql, state.qr, dx, dg, ms, ns, s,
         )
     else:
         ql, qr = jax.vmap(

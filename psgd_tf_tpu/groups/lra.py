@@ -77,6 +77,16 @@ def update(
 
     dtype = state.d.dtype
     t = linalg.tiny(dtype)
+    ctx = pallas_ops.shard_ctx()
+    if ctx is not None and dtype == jnp.float32:
+        # mesh-sharded kernels: lane-partitioned factors, psum'd rank-space
+        # reductions over the `shard` axis (lra_upd.fused_update_sharded)
+        mesh, axis = ctx
+        new_U, new_V, new_d = pallas_ops.lra_upd.fused_update_sharded(
+            state.U, state.V, state.d, v, h, step, key, t,
+            mesh=mesh, axis=axis, interpret=pallas_ops.interpret_default(),
+        )
+        return LRAState(U=new_U, V=new_V, d=new_d)
     if pallas_ops.enabled() and dtype == jnp.float32:
         # three-pass streaming kernels (ops/pallas/lra_upd.py); identical
         # PRNG branch structure, so trajectories match the path below

@@ -149,12 +149,18 @@ def _stage3_kernel(u_ref, v_ref, d_ref, qh_ref, b_ref, nd_ref,
 
 # ------------------------------------------------------------------ wrapper
 
-@functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
-def fused_update(U, V, d, v, h, step, key, tiny: float, interpret: bool = False):
-    """One LRA update matching groups.lra.update semantics exactly
-    (including the rebalance and U-vs-V PRNG branch structure).
+def _identity(x):
+    return x
 
-    U, V: (r, n) rank-major; d, v, h: (n,). Returns (U', V', d').
+
+def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
+                 psum=_identity, pmax=_identity):
+    """The three-stage fused update over a (possibly device-local) block.
+
+    `psum`/`pmax` reduce the rank-space quantities across a mesh axis when
+    the parameter (lane) axis is sharded (fused_update_sharded); identity
+    on a single device. All O(r^2) algebra between the streaming stages is
+    computed redundantly per device — it never touches (r, n) data.
     """
     r, n = U.shape
     rp = max(SUB, _cdiv(r, SUB) * SUB)
@@ -196,6 +202,8 @@ def fused_update(U, V, d, v, h, step, key, tiny: float, interpret: bool = False)
         ),
         interpret=interpret,
     )(Up, Vp, dp, hp, vp)
+    bigram = psum(bigram)
+    maxs = pmax(maxs)
 
     # unpack Z Z^T with Z = [U; V; x; w]
     iu, iv, ix, iw = slice(0, rp), slice(rp, 2 * rp), 2 * rp, 2 * rp + 1
@@ -247,7 +255,7 @@ def fused_update(U, V, d, v, h, step, key, tiny: float, interpret: bool = False)
     )(Up, Vp, dp, hp, vp, coef2)
 
     step = jnp.asarray(step, f32)
-    mu_d = step / (ndmax[0, 0] + tiny)
+    mu_d = step / (pmax(ndmax[0, 0]) + tiny)
 
     # ---- rank-space dots of a = Qh and b = invQtv (no extra passes)
     aa = xx + 2.0 * (s @ t) + t @ (Gup @ t)
@@ -310,3 +318,61 @@ def fused_update(U, V, d, v, h, step, key, tiny: float, interpret: bool = False)
     if padded:
         return newU[:r, :n], newV[:r, :n], newd[0, :n]
     return newU, newV, newd[0]
+
+
+@functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
+def fused_update(U, V, d, v, h, step, key, tiny: float, interpret: bool = False):
+    """One LRA update matching groups.lra.update semantics exactly
+    (including the rebalance and U-vs-V PRNG branch structure).
+
+    U, V: (r, n) rank-major; d, v, h: (n,). Returns (U', V', d').
+    """
+    return _update_impl(U, V, d, v, h, step, key, tiny, interpret)
+
+
+def fused_update_sharded(
+    U, V, d, v, h, step, key, tiny: float, mesh, axis: str = "shard",
+    interpret: bool = False,
+):
+    """Mesh-sharded fused update: each device streams its own lane slice of
+    the rank-major factors through the three Pallas stages; the rank-space
+    reductions (the packed Gram Z Z^T, max|U|/|V|, max|nablaD|) psum/pmax
+    over `axis` — the north-star "block-partitioned factors with ICI-reduced
+    rank-space exchange" (SURVEY.md §2.4). The PRNG key replicates, so the
+    rebalance and U-vs-V coins agree on every device and the result matches
+    the single-device trajectory exactly (up to reduction order).
+
+    Call inside jit under GSPMD: shard_map re-shards the operands to the
+    lane split and hands back shard-annotated outputs.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    r, n = U.shape
+    n_pad = _cdiv(n, n_dev) * n_dev
+    if n_pad != n:
+        padm = lambda m: jnp.zeros((r, n_pad), m.dtype).at[:, :n].set(m)
+        padv = lambda x, fill=0.0: jnp.full((n_pad,), fill, x.dtype).at[:n].set(x)
+        U, V = padm(U), padm(V)
+        d = padv(d, fill=1.0)  # 1-fill keeps w = v/d finite in the pad
+        v, h = padv(v), padv(h)
+
+    def local(U, V, d, v, h, step, key):
+        return _update_impl(
+            U, V, d, v, h, step, key, tiny, interpret,
+            psum=functools.partial(jax.lax.psum, axis_name=axis),
+            pmax=functools.partial(jax.lax.pmax, axis_name=axis),
+        )
+
+    row = P(None, axis)
+    lane = P(axis)
+    newU, newV, newd = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(row, row, lane, lane, lane, P(), P()),
+        out_specs=(row, row, lane),
+        check_vma=False,  # pallas_call is opaque to the replication checker
+    )(U, V, d, v, h, jnp.asarray(step, jnp.float32), key)
+    if n_pad != n:
+        return newU[:, :n], newV[:, :n], newd[:n]
+    return newU, newV, newd

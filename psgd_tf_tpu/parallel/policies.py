@@ -3,7 +3,11 @@
 Per SURVEY.md §2.4, the one real distributed-design problem this library
 owns is block-partitioning the preconditioner state itself:
 
-  dense  : Q rows over `shard` (the O(n^2) state).
+  dense  : Q rows over `shard` (the O(n^2) state) when n exceeds the fused
+           kernel's VMEM cap; below it Q replicates so the one-launch
+           Pallas update can run per-device (ops/pallas/dense_upd.py —
+           a <= 768^2 fp32 Q is ~2.3MB, cheaper to replicate than to
+           sequence a row-sharded triangular solve across devices).
   diag   : q over `shard`.
   xmat   : a, b over `shard`. NOTE — Q x couples index i with n-1-i, so the
            update needs `flip` = a mesh-wide reverse; GSPMD lowers it to a
@@ -47,7 +51,10 @@ def precond_sharding(mesh: Mesh, precond: Any) -> Any:
     rep = replicated(mesh)
 
     if isinstance(precond, dense.DenseState):
-        return dense.DenseState(Q=rowmat)
+        from psgd_tf_tpu.ops.pallas import dense_upd
+
+        small = precond.Q.shape[0] <= dense_upd.MAX_N
+        return dense.DenseState(Q=rep if small else rowmat)
     if isinstance(precond, diag.DiagState):
         return diag.DiagState(q=row)
     if isinstance(precond, xmat.XMatState):
@@ -74,4 +81,5 @@ def state_sharding(mesh: Mesh, state: PSGDState) -> PSGDState:
         count=rep,
         hyper=jax.tree_util.tree_map(lambda _: rep, state.hyper),
         precond=precond_sharding(mesh, state.precond),
+        always_update=state.always_update,  # static field: match treedef
     )

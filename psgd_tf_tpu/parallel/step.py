@@ -42,16 +42,18 @@ def build_sharded_step(
         return tuple(data_sh if i in axes else rep for i in range(nargs))
 
     def make(nargs: int):
-        def step_xla(params, state, key, *batch):
-            # trace-time: force XLA family paths — pallas_call is opaque
-            # to GSPMD's sharding propagation
+        def step_sharded(params, state, key, *batch):
+            # trace-time: route family kernel calls through shard_map —
+            # pallas_call has no GSPMD partitioning rule, so the fused
+            # kernels ride the mesh explicitly (lane-sharded lra with
+            # psum'd rank-space reductions; replicated kron/dense)
             from psgd_tf_tpu.ops import pallas as pallas_ops
 
-            with pallas_ops.disabled():
+            with pallas_ops.sharding(mesh, axis="shard"):
                 return opt.step(loss_fn, params, state, key, *batch)
 
         return jax.jit(
-            step_xla,
+            step_sharded,
             in_shardings=(param_sh, state_sh, rep) + batch_shardings(nargs),
             out_shardings=(param_sh, state_sh, None),
             donate_argnums=(0, 1) if donate else (),
