@@ -1,14 +1,24 @@
 """Scaling-efficiency harness: sharded preconditioner throughput vs mesh size.
 
 BASELINE.md targets >= 80% nnz/s scaling efficiency from 1 chip to >= 2
-hosts. This harness measures the row-sharded LRA update+apply (the
+hosts. This harness measures the lane-sharded LRA update+apply (the
 pod-scale family, SURVEY.md §2.4) across mesh sizes and reports efficiency
 relative to the single-device run.
 
-On real TPU pods run it unmodified (after `jax.distributed.initialize()`
-on each host). With one local chip it falls back to a virtual CPU mesh
-(deterministic, interconnect-free — validates the sharding math and the
-harness itself, not ICI bandwidth; the printed backend says which).
+Paths: `kernel` routes through the shard_map'd fused Pallas update
+(ops/pallas/lra_upd.fused_update_sharded, psum'd rank-space reductions);
+`xla` forces the GSPMD-partitioned XLA fallback. On real TPU meshes run
+with --path kernel (the production configuration). What runs where on this
+machine:
+
+  * one real TPU chip: measures the shard_map'd kernel on a 1-device mesh
+    against the raw unsharded kernel — the shard_map wrap + padding
+    overhead, which is the only kernel-path scaling fact measurable
+    without a second chip.
+  * virtual CPU mesh fallback: the efficiency sweep uses the XLA path
+    (kernels interpret off-TPU, which times Python, not hardware); the
+    kernel path is still executed once sharded to validate it end-to-end,
+    and is timed only on TPU.
 
     python bench_scaling.py [--n 1048576] [--rank 10] [--devices 1,2,4,8]
 """
@@ -34,8 +44,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_mesh(n_devices: int, n: int, rank: int, iters: int = 30) -> float:
+def _median_time(fn, reps=3):
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[reps // 2]
+
+
+def bench_mesh(
+    n_devices: int, n: int, rank: int, iters: int = 30, path: str = "xla"
+) -> float:
     from psgd_tf_tpu.groups import lra
+    from psgd_tf_tpu.ops import pallas as pallas_ops
     from psgd_tf_tpu.parallel import make_mesh, precond_sharding
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -51,14 +73,13 @@ def bench_mesh(n_devices: int, n: int, rank: int, iters: int = 30) -> float:
     h = jax.device_put(jax.random.normal(jax.random.fold_in(key, 1), (n,)), vec)
     g = jax.device_put(jax.random.normal(jax.random.fold_in(key, 2), (n,)), vec)
 
-    @partial(
-        jax.jit,
-        in_shardings=(sh, vec, vec, vec, rep),
-        out_shardings=(sh, vec),
-        static_argnums=(),
-    )
     def update_apply(state, v, h, g, key):
-        st = lra.update(state, v, h, step=0.001, key=key)
+        if path == "kernel":
+            with pallas_ops.sharding(mesh):
+                st = lra.update(state, v, h, step=0.001, key=key)
+        else:
+            with pallas_ops.disabled():
+                st = lra.update(state, v, h, step=0.001, key=key)
         return st, lra.apply(st, g)
 
     def chained(state, v, h, g, key):
@@ -68,17 +89,59 @@ def bench_mesh(n_devices: int, n: int, rank: int, iters: int = 30) -> float:
 
         return jax.lax.scan(body, state, None, length=iters)[0]
 
-    chained_j = jax.jit(chained)
+    chained_j = jax.jit(
+        chained, in_shardings=(sh, vec, vec, vec, rep), out_shardings=sh
+    )
     out = chained_j(state, v, h, g, key)
     jax.block_until_ready(out)
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = chained_j(state, v, h, g, key)
-        jax.block_until_ready(out)
-        ts.append((time.perf_counter() - t0) / iters)
+    t = _median_time(lambda: jax.block_until_ready(chained_j(state, v, h, g, key)))
     nnz = 2 * n * rank + n
-    return nnz / sorted(ts)[1]
+    return nnz / (t / iters)
+
+
+def bench_tpu_single_chip(n: int, rank: int, iters: int = 30) -> dict:
+    """One real chip: shard_map'd kernel on a 1-device mesh vs the raw
+    fused kernel — the wrap overhead that bounds kernel-path scaling."""
+    from psgd_tf_tpu.groups import lra
+    from psgd_tf_tpu.ops import linalg, pallas as pallas_ops
+    from psgd_tf_tpu.ops.pallas import lra_upd
+    from psgd_tf_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=1, shard=1)
+    key = jax.random.PRNGKey(0)
+    state = lra.init(key, n, rank=rank)
+    v = jax.random.normal(key, (n,))
+    h = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+    t = linalg.tiny(jax.numpy.float32)
+
+    def chain(fn):
+        def body(carry, _):
+            U, V, d = fn(carry[0], carry[1], carry[2])
+            return (U, V, d), None
+
+        def run(U, V, d):
+            return jax.lax.scan(body, (U, V, d), None, length=iters)[0]
+
+        return jax.jit(run)
+
+    raw = chain(
+        lambda U, V, d: lra_upd.fused_update(U, V, d, v, h, 0.001, key, t)
+    )
+    wrapped = chain(
+        lambda U, V, d: lra_upd.fused_update_sharded(
+            U, V, d, v, h, 0.001, key, t, mesh=mesh
+        )
+    )
+    nnz = 2 * n * rank + n
+    out = {}
+    for name, fn in [("raw_kernel", raw), ("shardmap_kernel", wrapped)]:
+        o = fn(state.U, state.V, state.d)
+        jax.block_until_ready(o)
+        tt = _median_time(lambda: jax.block_until_ready(fn(state.U, state.V, state.d)))
+        out[name] = nnz / (tt / iters)
+        log(f"1-chip {name}: {out[name] / 1e9:8.2f} Gnnz/s")
+    out["shardmap_overhead"] = out["raw_kernel"] / out["shardmap_kernel"]
+    return out
 
 
 def main():
@@ -86,7 +149,23 @@ def main():
     ap.add_argument("--n", type=int, default=1 << 20)
     ap.add_argument("--rank", type=int, default=10)
     ap.add_argument("--devices", default=None, help="comma list, e.g. 1,2,4,8")
+    ap.add_argument("--path", default="auto", choices=["auto", "kernel", "xla"])
     args = ap.parse_args()
+
+    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+        res = bench_tpu_single_chip(args.n, args.rank)
+        print(
+            json.dumps(
+                {
+                    "metric": "lra_shardmap_kernel_1chip",
+                    "value": round(res["shardmap_kernel"] / 1e9, 3),
+                    "unit": "Gnnz/s (vs raw kernel, 1 real TPU chip)",
+                    "vs_baseline": round(1.0 / res["shardmap_overhead"], 4),
+                    "detail": {k: round(v, 4) for k, v in res.items()},
+                }
+            )
+        )
+        return
 
     if jax.device_count() == 1 and os.environ.get("PSGD_SCALING_VIRTUAL") != "1":
         # single local chip: re-exec onto a virtual CPU mesh to validate
@@ -102,12 +181,21 @@ def main():
         if args.devices
         else [d for d in (1, 2, 4, 8) if d <= avail]
     )
-    log(f"backend={backend} devices={avail} mesh sizes={sizes}")
+    path = args.path
+    if path == "auto":
+        path = "kernel" if backend == "tpu" else "xla"
+    log(f"backend={backend} devices={avail} mesh sizes={sizes} path={path}")
+
+    if backend != "tpu":
+        # execute (don't time) the sharded kernel path once: end-to-end
+        # validation that the shard_map'd kernels run on this mesh
+        kn = bench_mesh(sizes[-1], 1 << 12, args.rank, iters=2, path="kernel")
+        log(f"kernel-path sharded execution validated at {sizes[-1]} devices")
 
     results = {}
     base = None
     for d in sizes:
-        nps = bench_mesh(d, args.n, args.rank)
+        nps = bench_mesh(d, args.n, args.rank, path=path)
         if base is None:
             base = nps
         eff = nps / (base * d)
@@ -120,7 +208,7 @@ def main():
             {
                 "metric": "lra_sharded_scaling_efficiency",
                 "value": round(results[str(last)]["efficiency"], 4),
-                "unit": f"fraction at {last} devices ({backend})",
+                "unit": f"fraction at {last} devices ({backend}, {path} path)",
                 "vs_baseline": round(results[str(last)]["efficiency"] / 0.8, 4),
                 "detail": {
                     k: {kk: round(vv, 4) for kk, vv in v.items()}

@@ -2,11 +2,20 @@
 
 Independent float64 numpy oracles implement the reference's update
 equations (from the math contracts in SURVEY.md §0/§2.1 — dense C2,
-kron (dense,dense) C6, UVd C17), and multi-step trajectories with
+kron C6/C8/C10/C12, splu C14, UVd C17), and multi-step trajectories with
 *injected* probe sequences are compared against the fp32 JAX
 implementation. Injecting (v, h) and replicating the PRNG branch decisions
 factors TF-vs-JAX RNG divergence out of the comparison, per the survey's
 test strategy.
+
+The sparse-family oracles (arrow/diag kron factors, splu) deliberately use
+a DIFFERENT formulation than the implementation: each structured factor is
+materialized as a dense float64 matrix, the group gradient is computed
+with np.linalg solves on the dense forms, projected onto the factor's
+sparsity pattern, and the multiplicative update applied densely. The
+implementation's closed-form arrow inverses, elementwise diag shortcuts,
+and block algebra must all agree with this — a transcription error in
+either the clever form or the dense form cannot cancel.
 """
 from functools import partial
 
@@ -15,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from psgd_tf_tpu.groups import dense, kron, lra
+from psgd_tf_tpu.groups import dense, kron, lra, splu
 from psgd_tf_tpu.ops import linalg
 
 TINY64 = float(np.nextafter(np.float32(0), np.float32(1)))  # fp32 subnormal
@@ -94,6 +103,105 @@ def lra_oracle(U, V, d, v, h, step, *, balance, update_u):
     return U, V, new_d
 
 
+# ---------------------------------------------- dense-materialized oracles
+
+def _arrow(ql0, ql1):
+    """Dense arrow matrix: diag(ql0) with last column [ql1[:-1]; ql0[-1]]."""
+    Q = np.diag(np.asarray(ql0, np.float64))
+    Q[:-1, -1] = ql1[:-1]
+    return Q
+
+
+def _project_arrow(M):
+    """Project a dense group gradient onto the arrow pattern
+    {diagonal, last column} (the bias entry at [-1, -1] is diagonal)."""
+    G = np.diag(np.diag(M)).astype(np.float64)
+    G[:-1, -1] += M[:-1, -1]
+    return G
+
+
+def kron_nd_oracle(Ql, Qr, dX, dG, step):
+    """C8 (norm, dense) on DENSE factors: balance, A = Ql dG Qr^T,
+    Bt = Ql^-T dX Qr^-1, arrow-projected left grad, triu right grad."""
+    rho = np.sqrt(np.diag(Ql).max() / np.diag(Qr).max())
+    Ql, Qr = Ql / rho, rho * Qr
+    A = Ql @ dG @ Qr.T
+    Bt = np.linalg.solve(Ql.T, dX) @ np.linalg.inv(Qr)
+    G1 = _project_arrow(A @ A.T - Bt @ Bt.T)
+    s1 = step / (np.abs(G1).max() + TINY64)
+    G2 = np.triu(A.T @ A - Bt.T @ Bt)
+    s2 = step / (np.abs(G2).max() + TINY64)
+    return Ql - s1 * (G1 @ Ql), Qr - s2 * (G2 @ Qr)
+
+
+def kron_ds_oracle(Ql, Qr, dX, dG, step):
+    """C10 (dense, scale) on DENSE factors: Qr is a materialized diagonal;
+    the right grad projects onto the diagonal."""
+    rho = np.sqrt(np.diag(Ql).max() / np.diag(Qr).max())
+    Ql, Qr = Ql / rho, rho * Qr
+    A = Ql @ dG @ Qr.T
+    Bt = np.linalg.solve(Ql.T, dX) @ np.linalg.inv(Qr)
+    G1 = np.triu(A @ A.T - Bt @ Bt.T)
+    s1 = step / (np.abs(G1).max() + TINY64)
+    G2 = np.diag(np.diag(A.T @ A - Bt.T @ Bt))
+    s2 = step / (np.abs(G2).max() + TINY64)
+    return Ql - s1 * (G1 @ Ql), Qr - s2 * (G2 @ Qr)
+
+
+def kron_ns_oracle(Ql, Qr, dX, dG, step):
+    """C12 (norm, scale) on DENSE factors — the sparsest pair."""
+    rho = np.sqrt(np.diag(Ql).max() / np.diag(Qr).max())
+    Ql, Qr = Ql / rho, rho * Qr
+    A = Ql @ dG @ Qr.T
+    Bt = np.linalg.solve(Ql.T, dX) @ np.linalg.inv(Qr)
+    G1 = _project_arrow(A @ A.T - Bt @ Bt.T)
+    s1 = step / (np.abs(G1).max() + TINY64)
+    G2 = np.diag(np.diag(A.T @ A - Bt.T @ Bt))
+    s2 = step / (np.abs(G2).max() + TINY64)
+    return Ql - s1 * (G1 @ Ql), Qr - s2 * (G2 @ Qr)
+
+
+def _project_splu_l(M, r):
+    """L pattern: lower-tri r x r corner, full lower-left block, diag tail."""
+    G = np.zeros_like(M)
+    G[:r, :r] = np.tril(M[:r, :r])
+    G[r:, :r] = M[r:, :r]
+    G[r:, r:] = np.diag(np.diag(M[r:, r:]))
+    return G
+
+
+def _project_splu_u(M, r):
+    """U pattern: upper-tri r x r corner, full upper-right block, diag tail."""
+    G = np.zeros_like(M)
+    G[:r, :r] = np.triu(M[:r, :r])
+    G[:r, r:] = M[:r, r:]
+    G[r:, r:] = np.diag(np.diag(M[r:, r:]))
+    return G
+
+
+def splu_oracle(L, U, r, v, h, step):
+    """C14 on DENSE L, U: balance; Q = L U; the four probe images via dense
+    solves; pattern-projected group grads; L <- L - s (G_L L),
+    U <- U - s (U G_U) with joint max-abs steps (ref :396-480)."""
+    rho = np.sqrt(np.diag(L).max() / np.diag(U).max())
+    L, U = L / rho, rho * U
+    Q = L @ U
+    P = Q.T @ Q
+    Qg = Q @ h
+    iQtx = np.linalg.solve(Q.T, v)
+    Pg = P @ h
+    iPx = np.linalg.solve(P, v)
+
+    GL = _project_splu_l(np.outer(Qg, Qg) - np.outer(iQtx, iQtx), r)
+    sL = step / (np.abs(GL).max() + TINY64)
+    newL = L - sL * (GL @ L)
+
+    GU = _project_splu_u(np.outer(Pg, h) - np.outer(v, iPx), r)
+    sU = step / (np.abs(GU).max() + TINY64)
+    newU = U - sU * (U @ GU)
+    return newL, newU
+
+
 # ------------------------------------------------------------ trajectories
 
 def _probes(seed, steps=STEPS, n=N):
@@ -157,6 +265,121 @@ def test_lra_trajectory_matches_oracle():
     for got, want in ((state.U.T, U64), (state.V.T, V64), (state.d, d64)):
         rel = np.abs(np.asarray(got) - want).max() / np.abs(want).max()
         assert rel < 1e-3, rel
+
+
+_SPARSE_KRON = {
+    ("norm", "dense"): kron_nd_oracle,
+    ("dense", "scale"): kron_ds_oracle,
+    ("norm", "scale"): kron_ns_oracle,
+}
+
+
+def _factor_to_dense64(fmt, q):
+    q = np.asarray(q, np.float64)
+    if fmt == "dense":
+        return q
+    if fmt == "scale":
+        return np.diag(q)
+    return _arrow(q[0], q[1])
+
+
+@pytest.mark.parametrize("fmt", sorted(_SPARSE_KRON), ids=str)
+def test_sparse_kron_trajectory_matches_oracle(fmt):
+    """The arrow-inverse / diag-shortcut kron updates vs the dense float64
+    materialization (most transcription-error-prone code per VERDICT r1)."""
+    m, n = 11, 9
+    state = kron.init((m, n), fmt=fmt, init_scale=0.8)
+    Ql64 = _factor_to_dense64(fmt[0], state.ql)
+    Qr64 = _factor_to_dense64(fmt[1], state.qr)
+    oracle = _SPARSE_KRON[fmt]
+    rng = np.random.default_rng(5)
+    upd = jax.jit(partial(kron.update, step=0.05))
+    for _ in range(STEPS):
+        dX = rng.standard_normal((m, n))
+        dG = rng.standard_normal((m, n))
+        state = upd(state, jnp.asarray(dX, jnp.float32), jnp.asarray(dG, jnp.float32))
+        Ql64, Qr64 = oracle(Ql64, Qr64, dX, dG, 0.05)
+    got_l = _factor_to_dense64(fmt[0], state.ql)
+    got_r = _factor_to_dense64(fmt[1], state.qr)
+    for got, want in ((got_l, Ql64), (got_r, Qr64)):
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 5e-4, (fmt, rel)
+    # the oracle's dense updates must also PRESERVE the sparsity pattern
+    # (group closure) — catches a wrong projection in the oracle itself
+    if fmt[0] == "norm":
+        off = Ql64 - np.diag(np.diag(Ql64))
+        off[:-1, -1] = 0.0
+        assert np.abs(off).max() < 1e-12
+    if fmt[1] == "scale":
+        assert np.abs(Qr64 - np.diag(np.diag(Qr64))).max() < 1e-12
+
+
+@pytest.mark.parametrize("fmt", [("dense", "norm"), ("scale", "dense"), ("scale", "norm")], ids=str)
+def test_mirror_kron_trajectory_matches_transposed_oracle(fmt):
+    """The transpose-mirror dispatch cases (ref :86, :102, :104) against the
+    sibling oracle run on transposed probes."""
+    m, n = 9, 11
+    mirror = (fmt[1], fmt[0])
+    state = kron.init((m, n), fmt=fmt, init_scale=0.8)
+    # oracle runs the implemented sibling on (n, m) transposed data
+    Qr64 = _factor_to_dense64(fmt[1], state.qr)   # left of the mirror
+    Ql64 = _factor_to_dense64(fmt[0], state.ql)   # right of the mirror
+    oracle = _SPARSE_KRON[mirror]
+    rng = np.random.default_rng(6)
+    upd = jax.jit(partial(kron.update, step=0.05))
+    for _ in range(STEPS):
+        dX = rng.standard_normal((m, n))
+        dG = rng.standard_normal((m, n))
+        state = upd(state, jnp.asarray(dX, jnp.float32), jnp.asarray(dG, jnp.float32))
+        Qr64, Ql64 = oracle(Qr64, Ql64, dX.T, dG.T, 0.05)
+    got_l = _factor_to_dense64(fmt[0], state.ql)
+    got_r = _factor_to_dense64(fmt[1], state.qr)
+    for got, want in ((got_l, Ql64), (got_r, Qr64)):
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 5e-4, (fmt, rel)
+
+
+def test_splu_trajectory_matches_oracle():
+    rank = 6
+    state = splu.init(N, rank=rank, init_scale=0.6)
+    L64 = np.zeros((N, N))
+    L64[:rank, :rank] = np.asarray(state.L12[:rank], np.float64)
+    L64[rank:, :rank] = np.asarray(state.L12[rank:], np.float64)
+    L64[rank:, rank:] = np.diag(np.asarray(state.l3, np.float64))
+    U64 = np.zeros((N, N))
+    U64[:rank, :rank] = np.asarray(state.U12[:, :rank], np.float64)
+    U64[:rank, rank:] = np.asarray(state.U12[:, rank:], np.float64)
+    U64[rank:, rank:] = np.diag(np.asarray(state.u3, np.float64))
+
+    upd = jax.jit(partial(splu.update, step=0.05))
+    for v, h in _probes(8):
+        state = upd(state, jnp.asarray(v, jnp.float32), jnp.asarray(h, jnp.float32))
+        L64, U64 = splu_oracle(L64, U64, rank, v, h, 0.05)
+
+    got = {
+        "L1": np.asarray(state.L12[:rank]),
+        "L2": np.asarray(state.L12[rank:]),
+        "l3": np.asarray(state.l3),
+        "U1": np.asarray(state.U12[:, :rank]),
+        "U2": np.asarray(state.U12[:, rank:]),
+        "u3": np.asarray(state.u3),
+    }
+    want = {
+        "L1": L64[:rank, :rank],
+        "L2": L64[rank:, :rank],
+        "l3": np.diag(L64[rank:, rank:]),
+        "U1": U64[:rank, :rank],
+        "U2": U64[:rank, rank:],
+        "u3": np.diag(U64[rank:, rank:]),
+    }
+    scale = max(np.abs(L64).max(), np.abs(U64).max())
+    for k in got:
+        rel = np.abs(got[k] - want[k]).max() / scale
+        assert rel < 5e-4, (k, rel)
+    # oracle pattern closure: L stays splu-lower, U stays splu-upper
+    assert np.abs(np.triu(L64, 1)[:rank]).max() < 1e-12
+    assert np.abs(L64[rank:, rank:] - np.diag(np.diag(L64[rank:, rank:]))).max() < 1e-12
+    assert np.abs(np.tril(U64, -1)[:, :rank]).max() < 1e-12
 
 
 def test_dense_oracle_criterion_sanity():
