@@ -70,9 +70,7 @@ def update(
         return DenseState(Q=new_q)
     a = q @ h
     b = linalg.solve_ut_t(q, v)
-    step0 = jnp.asarray(step, q.dtype) / (
-        linalg.triu_outer_diff_maxabs(a, b) + linalg.tiny(q.dtype)
-    )
+    step0 = linalg.step_scale(step, linalg.triu_outer_diff_maxabs(a, b), q.dtype)
     grad_q = linalg.triu_outer_diff_matmul(a, b, q)
     return DenseState(Q=q - step0 * grad_q)
 

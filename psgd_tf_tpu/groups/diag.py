@@ -49,7 +49,7 @@ def update(
     a = q * h
     b = v / q
     grad = a * a - b * b
-    step0 = jnp.asarray(step, q.dtype) / (linalg.max_abs(grad) + linalg.tiny(q.dtype))
+    step0 = linalg.step_scale(step, linalg.max_abs(grad), q.dtype)
     return DiagState(q=q - step0 * grad * q)
 
 

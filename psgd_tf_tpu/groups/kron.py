@@ -110,8 +110,8 @@ def _update_dd(Ql, Qr, dX, dG, step, t):
     Bt = linalg.solve_ut_t(Ql, linalg.solve_ut_t(Qr, dX.T).T)
     grad1 = linalg.triu(A @ A.T - Bt @ Bt.T)
     grad2 = linalg.triu(A.T @ A - Bt.T @ Bt)
-    step1 = step / (linalg.max_abs(grad1) + t)
-    step2 = step / (linalg.max_abs(grad2) + t)
+    step1 = linalg.step_scale(step, linalg.max_abs(grad1), Ql.dtype)
+    step2 = linalg.step_scale(step, linalg.max_abs(grad2), Qr.dtype)
     return Ql - step1 * (grad1 @ Ql), Qr - step2 * (grad2 @ Qr)
 
 
@@ -158,14 +158,15 @@ def _update_nd(ql, Qr, dX, dG, step, t):
     grad1_bias = A[:-1] @ A[-1] - Bt[:-1] @ Bt[-1]
     grad1_bias = jnp.concatenate([grad1_bias, jnp.zeros((1,), A.dtype)])
 
-    step1 = step / (
-        jnp.maximum(linalg.max_abs(grad1_diag), linalg.max_abs(grad1_bias)) + t
+    step1 = linalg.step_scale(
+        step, jnp.maximum(linalg.max_abs(grad1_diag), linalg.max_abs(grad1_bias)),
+        A.dtype,
     )
     new_ql0 = ql[0] - step1 * grad1_diag * ql[0]
     new_ql1 = ql[1] - step1 * (grad1_diag * ql[1] + ql[0, -1] * grad1_bias)
 
     grad2 = linalg.triu(A.T @ A - Bt.T @ Bt)
-    step2 = step / (linalg.max_abs(grad2) + t)
+    step2 = linalg.step_scale(step, linalg.max_abs(grad2), A.dtype)
     return jnp.stack([new_ql0, new_ql1]), Qr - step2 * (grad2 @ Qr)
 
 
@@ -190,9 +191,9 @@ def _update_ds(Ql, qr, dX, dG, step, t):
     Bt = linalg.solve_ut_t(Ql, dX) / qr[None, :]
 
     grad1 = linalg.triu(A @ A.T - Bt @ Bt.T)
-    step1 = step / (linalg.max_abs(grad1) + t)
+    step1 = linalg.step_scale(step, linalg.max_abs(grad1), A.dtype)
     grad2 = jnp.sum(A * A, axis=0) - jnp.sum(Bt * Bt, axis=0)
-    step2 = step / (linalg.max_abs(grad2) + t)
+    step2 = linalg.step_scale(step, linalg.max_abs(grad2), A.dtype)
     return Ql - step1 * (grad1 @ Ql), qr - step2 * grad2 * qr
 
 
@@ -219,14 +220,15 @@ def _update_ns(ql, qr, dX, dG, step, t):
     grad1_bias = A[:-1] @ A[-1] - Bt[:-1] @ Bt[-1]
     grad1_bias = jnp.concatenate([grad1_bias, jnp.zeros((1,), A.dtype)])
 
-    step1 = step / (
-        jnp.maximum(linalg.max_abs(grad1_diag), linalg.max_abs(grad1_bias)) + t
+    step1 = linalg.step_scale(
+        step, jnp.maximum(linalg.max_abs(grad1_diag), linalg.max_abs(grad1_bias)),
+        A.dtype,
     )
     new_ql0 = ql[0] - step1 * grad1_diag * ql[0]
     new_ql1 = ql[1] - step1 * (grad1_diag * ql[1] + ql[0, -1] * grad1_bias)
 
     grad2 = jnp.sum(A * A, axis=0) - jnp.sum(Bt * Bt, axis=0)
-    step2 = step / (linalg.max_abs(grad2) + t)
+    step2 = linalg.step_scale(step, linalg.max_abs(grad2), A.dtype)
     return jnp.stack([new_ql0, new_ql1]), qr - step2 * grad2 * qr
 
 
@@ -394,8 +396,8 @@ def _update_dd_padded(Ql, Qr, dX, dG, m, n, step, t):
     Bt = linalg.solve_ut_t(Qlb, linalg.solve_ut_t(Qrb, dX.T).T)
     grad1 = linalg.triu(A @ A.T - Bt @ Bt.T)
     grad2 = linalg.triu(A.T @ A - Bt.T @ Bt)
-    step1 = step / (linalg.max_abs(grad1) + t)
-    step2 = step / (linalg.max_abs(grad2) + t)
+    step1 = linalg.step_scale(step, linalg.max_abs(grad1), Qlb.dtype)
+    step2 = linalg.step_scale(step, linalg.max_abs(grad2), Qrb.dtype)
     return Qlb - step1 * (grad1 @ Qlb), Qrb - step2 * (grad2 @ Qrb)
 
 

@@ -111,34 +111,42 @@ def update(
     Qh = _ip_uvt_matvec(U, V, d * h)
     Ph = d * _ip_uvt_matvec(V, U, Qh)
 
-    # Woodbury: P^{-1} v via two r x r solves (ref :574-579)
+    # Woodbury: P^{-1} v via two r x r solves (ref :574-579; fp32-pinned
+    # for half-precision states per ref Note 3)
     IpVtU = jnp.eye(U.shape[0], dtype=dtype) + V @ U.T
     invQtv = v / d
-    invQtv = invQtv - jax.scipy.linalg.solve(IpVtU.T, U @ invQtv) @ V
-    invPv = invQtv - jax.scipy.linalg.solve(IpVtU, V @ invQtv) @ U
+    invQtv = invQtv - linalg.solve_small(IpVtU.T, U @ invQtv) @ V
+    invPv = invQtv - linalg.solve_small(IpVtU, V @ invQtv) @ U
     invPv = invPv / d
 
     # diagonal update (ref :581-584)
     nablaD = Ph * h - v * invPv
-    mu = s / (linalg.max_abs(nablaD) + t)
+    mu = linalg.step_scale(s, linalg.max_abs(nablaD), dtype)
     new_d = d - mu * d * nablaD
 
     # update either U or V, not both (ref :588-615)
     a, b = Qh, invQtv
+
+    f32 = jnp.float32  # spectral-proxy norms are cancellation-prone
+    #                  # (x*y + z*w - 2*u*v): fp32-pinned like the solves,
+    #                  # or bf16 rounds a nonzero norm to 0 and the
+    #                  # saturated step blows the factor up
+    a32, b32 = a.astype(f32), b.astype(f32)
 
     def _update_u(U, V):
         atV = V @ a               # (r,)
         btV = V @ b
         atVVt = atV @ V           # (n,)
         btVVt = btV @ V
+        x32, y32 = atVVt.astype(f32), btVVt.astype(f32)
         norm = jnp.sqrt(
             jnp.abs(
-                (a @ a) * (atVVt @ atVVt)
-                + (b @ b) * (btVVt @ btVVt)
-                - 2.0 * (a @ b) * (atVVt @ btVVt)
+                (a32 @ a32) * (x32 @ x32)
+                + (b32 @ b32) * (y32 @ y32)
+                - 2.0 * (a32 @ b32) * (x32 @ y32)
             )
         )
-        mu = s / (norm + t)
+        mu = linalg.step_scale(s, norm, dtype)
         newU = U - mu * (
             jnp.outer(IpVtU.T @ atV, a) - jnp.outer(IpVtU.T @ btV, b)
         )
@@ -149,14 +157,15 @@ def update(
         btU = U @ b
         UUta = atU @ U            # (n,)
         UUtb = btU @ U
+        x32, y32 = UUta.astype(f32), UUtb.astype(f32)
         norm = jnp.sqrt(
             jnp.abs(
-                (UUta @ UUta) * (a @ a)
-                + (UUtb @ UUtb) * (b @ b)
-                - 2.0 * (UUta @ UUtb) * (a @ b)
+                (x32 @ x32) * (a32 @ a32)
+                + (y32 @ y32) * (b32 @ b32)
+                - 2.0 * (x32 @ y32) * (a32 @ b32)
             )
         )
-        mu = s / (norm + t)
+        mu = linalg.step_scale(s, norm, dtype)
         newV = V - mu * (
             jnp.outer(atU, a + atU @ V) - jnp.outer(btU, b + btU @ V)
         )

@@ -71,7 +71,6 @@ def update(
 ) -> SpLUState:
     del key
     dtype = state.L12.dtype
-    t = linalg.tiny(dtype)
     r = state.rank
 
     # dynamic-range balancing of L vs U (ref :411-417). The tails l3/u3 are
@@ -117,7 +116,7 @@ def update(
     mx = jnp.maximum(
         linalg.max_abs(gl1), jnp.maximum(_max_abs0(gl2), _max_abs0(gl3))
     )
-    step_l = s / (mx + t)
+    step_l = linalg.step_scale(s, mx, dtype)
     newL1 = L1 - step_l * (gl1 @ L1)
     newL2 = L2 - step_l * (gl2 @ L1) - step_l * gl3[:, None] * L2
     newl3 = l3 - step_l * gl3 * l3
@@ -129,7 +128,7 @@ def update(
     mx = jnp.maximum(
         linalg.max_abs(gu1), jnp.maximum(_max_abs0(gu2), _max_abs0(gu3))
     )
-    step_u = s / (mx + t)
+    step_u = linalg.step_scale(s, mx, dtype)
     newU1 = U1 - step_u * (U1 @ gu1)
     newU2 = U2 - step_u * (U1 @ gu2) - step_u * gu3[None, :] * U2
     newu3 = u3 - step_u * gu3 * u3

@@ -30,6 +30,8 @@ __all__ = [
     "solve_ut_t",
     "solve_lt",
     "solve_lt_t",
+    "solve_small",
+    "step_scale",
     "triu_outer_diff_matmul",
     "norm_clip_scale",
 ]
@@ -42,14 +44,27 @@ def tiny(dtype) -> float:
     Matches the reference's recursive-halving `_tiny` (ref :21-22): for fp32
     this is ~1.4e-45, not `finfo.tiny` (~1.18e-38). Used to guard the
     `step / max|grad|` normalization against division by zero.
+    `smallest_subnormal` covers the ml_dtypes half types (bf16 ~9.2e-41)
+    that `np.nextafter` cannot produce.
     """
-    return float(np.nextafter(np.array(0, dtype=np.dtype(dtype)), np.array(1, dtype=np.dtype(dtype))))
+    return float(_finfo(dtype).smallest_subnormal)
+
+
+def _finfo(dtype):
+    """np.finfo, falling back to ml_dtypes.finfo for bf16/fp8-style types
+    this numpy build does not classify as inexact."""
+    try:
+        return np.finfo(np.dtype(dtype))
+    except ValueError:
+        import ml_dtypes
+
+        return ml_dtypes.finfo(np.dtype(dtype))
 
 
 @functools.lru_cache(maxsize=None)
 def delta_scale(dtype) -> float:
     """sqrt(machine eps): finite-difference perturbation scale (ref :683)."""
-    return float(np.sqrt(np.finfo(np.dtype(dtype)).eps))
+    return float(np.sqrt(float(_finfo(dtype).eps)))
 
 
 def max_abs(x: jax.Array) -> jax.Array:
@@ -72,16 +87,22 @@ def _as_col(x: jax.Array) -> jax.Array:
 
 
 def _solve_tri(a: jax.Array, b: jax.Array, *, lower: bool, trans: bool) -> jax.Array:
+    # solves amplify rounding through back-substitution: run them in fp32
+    # even when the state is half precision (the reference flags exactly
+    # this caveat for its half-precision mode, ref :657-658 "Note 3"), then
+    # cast back. Statistical GEMMs elsewhere stay in the state dtype.
+    out_dtype = jnp.result_type(a, b)
+    compute = jnp.promote_types(out_dtype, jnp.float32)
     b2 = _as_col(b)
     out = jax.lax.linalg.triangular_solve(
-        a,
-        b2,
+        a.astype(compute),
+        b2.astype(compute),
         left_side=True,
         lower=lower,
         transpose_a=trans,
         conjugate_a=False,
         unit_diagonal=False,
-    )
+    ).astype(out_dtype)
     return out[:, 0] if b.ndim == 1 else out
 
 
@@ -104,6 +125,31 @@ def solve_lt(l: jax.Array, b: jax.Array) -> jax.Array:
 def solve_lt_t(l: jax.Array, b: jax.Array) -> jax.Array:
     """Solve L^T x = b with L lower triangular (ref :440)."""
     return _solve_tri(l, b, lower=True, trans=True)
+
+
+def step_scale(step, max_grad: jax.Array, dtype) -> jax.Array:
+    """The Lie-group step normalizer `step / (max|grad| + tiny)` (ref :41),
+    computed in fp32 and saturated at the state dtype's finite max.
+
+    A group gradient that underflows to exactly 0 (routine in bf16 near
+    convergence, possible in fp32) would otherwise produce
+    `step / tiny = inf` and then `inf * 0 = NaN` in the multiplicative
+    update — a latent reference bug this formulation removes: the saturated
+    scale multiplies the zero gradient back to a zero update.
+    """
+    f32 = jnp.float32
+    s = jnp.asarray(step, f32) / (max_grad.astype(f32) + tiny(dtype))
+    return jnp.minimum(s, float(_finfo(dtype).max)).astype(dtype)
+
+
+def solve_small(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Dense solve of a small (r, r) system in >= fp32 — the Woodbury cores
+    (ref :577-578); half-precision states upcast per ref Note 3 (:657-658)."""
+    out_dtype = jnp.result_type(a, b)
+    compute = jnp.promote_types(out_dtype, jnp.float32)
+    return jax.scipy.linalg.solve(
+        a.astype(compute), b.astype(compute)
+    ).astype(out_dtype)
 
 
 def triu_outer_diff_matmul(a: jax.Array, b: jax.Array, q: jax.Array) -> jax.Array:

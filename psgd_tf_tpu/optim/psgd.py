@@ -299,7 +299,10 @@ class PSGD:
         flat0, unravel = jax.flatten_util.ravel_pytree(params)
 
         def step_with(_):
-            v_flat = jax.random.normal(k_probe, flat0.shape, self.dtype)
+            # probes in the PARAM dtype (the Hvp runs through the model);
+            # cast to the preconditioner dtype only at the family boundary,
+            # so a bf16 Q state composes with fp32 params and vice versa
+            v_flat = jax.random.normal(k_probe, flat0.shape, flat0.dtype)
             v = unravel(v_flat)
             with jax.named_scope("psgd_hvp"):
                 if self.exact_hessian_vector_product:
@@ -309,7 +312,9 @@ class PSGD:
             h_flat = jax.flatten_util.ravel_pytree(hvs)[0]
             with jax.named_scope("psgd_q_update"):
                 precond = fam.update(
-                    state.precond, v_flat, h_flat,
+                    state.precond,
+                    v_flat.astype(self.dtype),
+                    h_flat.astype(self.dtype),
                     step=hyper.lr_preconditioner, key=k_prec,
                 )
             return loss, grads, precond
@@ -333,8 +338,12 @@ class PSGD:
                     loss, grads, hvs = hvp.exact(loss_fn, params, v, *args)
                 else:
                     loss, grads, hvs = hvp.finite_diff(loss_fn, params, v, *args)
-            v_leaves = [_as_matrix(x) for x in treedef.flatten_up_to(v)]
-            h_leaves = [_as_matrix(x) for x in treedef.flatten_up_to(hvs)]
+            v_leaves = [
+                _as_matrix(x).astype(self.dtype) for x in treedef.flatten_up_to(v)
+            ]
+            h_leaves = [
+                _as_matrix(x).astype(self.dtype) for x in treedef.flatten_up_to(hvs)
+            ]
             with jax.named_scope("psgd_q_update"):
                 pc = state.precond
                 if isinstance(pc, KronPrecond):
@@ -374,9 +383,13 @@ class PSGD:
     # ----------------------------------------------------------------- apply
 
     def _apply(self, precond, grads, params):
+        # grads cast to the preconditioner dtype here; step() casts the
+        # preconditioned result back to each param's dtype
         if self.preconditioner == "kron":
             treedef = jax.tree_util.tree_structure(params)
-            g_leaves = treedef.flatten_up_to(grads)
+            g_leaves = [
+                g.astype(self.dtype) for g in treedef.flatten_up_to(grads)
+            ]
             if isinstance(precond, KronPrecond):
                 pre = [None] * len(g_leaves)
                 for bst, idx in zip(precond.batches, precond.batched_idx):
@@ -397,7 +410,8 @@ class PSGD:
             return jax.tree_util.tree_unflatten(treedef, pre)
         fam = _FLAT_FAMILIES[self.preconditioner]
         g_flat, unravel = jax.flatten_util.ravel_pytree(grads)
-        return unravel(fam.apply(precond, g_flat))
+        pre = fam.apply(precond, g_flat.astype(self.dtype))
+        return unravel(pre.astype(g_flat.dtype))
 
     # ----------------------------------------------------------------- hyper
 

@@ -9,9 +9,10 @@ owns is block-partitioning the preconditioner state itself:
            a <= 768^2 fp32 Q is ~2.3MB, cheaper to replicate than to
            sequence a row-sharded triangular solve across devices).
   diag   : q over `shard`.
-  xmat   : a, b over `shard`. NOTE — Q x couples index i with n-1-i, so the
-           update needs `flip` = a mesh-wide reverse; GSPMD lowers it to a
-           collective-permute ring pass on ICI.
+  xmat   : folded (2, m) rows over `shard` along the pair axis. The folded
+           layout (groups/xmat.py) co-locates each coupled (i, n-1-i) pair,
+           so the update itself needs NO cross-device exchange; only the
+           probe fold/unfold at the boundary reverses data once.
   splu   : L12 rows / U12 cols and the diagonal tails over `shard`; the
            r x r corner solves replicate (all_gather of r-vectors).
   lra    : U, V are rank-major (r, n) — the parameter axis (axis 1) shards
@@ -58,7 +59,9 @@ def precond_sharding(mesh: Mesh, precond: Any) -> Any:
     if isinstance(precond, diag.DiagState):
         return diag.DiagState(q=row)
     if isinstance(precond, xmat.XMatState):
-        return xmat.XMatState(a=row, b=row)
+        return xmat.XMatState(
+            af=colmat, bf=colmat, ac=rep, odd=precond.odd
+        )
     if isinstance(precond, splu.SpLUState):
         return splu.SpLUState(L12=rowmat, l3=row, U12=colmat, u3=row)
     if isinstance(precond, lra.LRAState):

@@ -88,6 +88,55 @@ def test_P_is_spd(name):
     assert eigs.min() > 0, f"{name}: P not PD, min eig {eigs.min()}"
 
 
+BF16_FAMILIES = {
+    "dense": lambda: dense.init(N, 0.7, dtype=jnp.bfloat16),
+    "diag": lambda: diag.init(N, 0.7, dtype=jnp.bfloat16),
+    "xmat": lambda: xmat.init(N, 0.7, dtype=jnp.bfloat16),
+    "splu": lambda: splu.init(N, rank=6, init_scale=0.7, dtype=jnp.bfloat16),
+    "lra": lambda: lra.init(
+        jax.random.PRNGKey(7), N, rank=4, init_scale=0.7, dtype=jnp.bfloat16
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(BF16_FAMILIES))
+def test_bf16_update_decreases_criterion(name):
+    """Half-precision states (ref Note 3, :657-658): solves run in fp32
+    internally, statistical work stays bf16; trajectories must still fit."""
+    mod = _module(name)
+    state = BF16_FAMILIES[name]()
+    v, h = _vh(jax.random.PRNGKey(11))
+    v16, h16 = v.astype(jnp.bfloat16), h.astype(jnp.bfloat16)
+    c0 = criterion(mod.materialize(state).astype(jnp.float32), v, h)
+    for i in range(20):
+        state = mod.update(state, v16, h16, step=0.1, key=jax.random.PRNGKey(100 + i))
+    # dtype must be preserved end to end (no silent fp32 promotion)
+    for leaf in jax.tree_util.tree_leaves(state):
+        assert leaf.dtype == jnp.bfloat16, (name, leaf.dtype)
+    c1 = criterion(mod.materialize(state).astype(jnp.float32), v, h)
+    assert np.isfinite(c1) and c1 < c0, f"{name}: criterion {c0} -> {c1}"
+    g = jax.random.normal(jax.random.PRNGKey(5), (N,), jnp.bfloat16)
+    pre = mod.apply(state, g)
+    assert pre.dtype == jnp.bfloat16
+    assert bool(jnp.all(jnp.isfinite(pre.astype(jnp.float32))))
+
+
+def test_bf16_kron_update_decreases_criterion():
+    m, n = 12, 8
+    fmts = [("dense", "dense"), ("norm", "dense"), ("dense", "scale"), ("norm", "scale")]
+    rng = np.random.default_rng(9)
+    for fmt in fmts:
+        state = kron.init((m, n), fmt=fmt, init_scale=0.7, dtype=jnp.bfloat16)
+        dX = jnp.asarray(rng.standard_normal((m, n)), jnp.bfloat16)
+        dG = jnp.asarray(rng.standard_normal((m, n)), jnp.bfloat16)
+        for _ in range(10):
+            state = kron.update(state, dX, dG, step=0.1)
+        assert state.ql.dtype == jnp.bfloat16 and state.qr.dtype == jnp.bfloat16
+        pre = kron.apply(state, dG)
+        assert pre.dtype == jnp.bfloat16
+        assert bool(jnp.all(jnp.isfinite(pre.astype(jnp.float32)))), fmt
+
+
 def test_dense_update_matches_naive_reference_formula():
     """The O(n^2) cumsum path must equal the reference's O(n^3) formula."""
     from psgd_tf_tpu.ops import linalg

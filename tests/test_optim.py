@@ -58,6 +58,28 @@ def test_rosenbrock_convergence(family):
     assert float(aux["loss"]) < (2e-3 if family == "lra" else 1e-3)
 
 
+@pytest.mark.parametrize("family", ALL_FAMILIES)
+def test_bf16_preconditioner_state_reduces_quadratic(family):
+    """dtype=bfloat16 keeps the whole Q state in half precision (fp32
+    params, fp32 Hvp): every family must still optimize (ref Note 3)."""
+    key = jax.random.PRNGKey(0)
+    n = 12
+    A = jnp.diag(jnp.logspace(-1, 1, n))
+    params = {
+        "a": jax.random.normal(key, (n // 2,)),
+        "b": jax.random.normal(jax.random.fold_in(key, 1), (n // 2,)),
+    }
+    loss0 = float(quad_loss(params, A))
+    opt = psgd.PSGD(preconditioner=family, rank=4, init_scale=0.1,
+                    lr_params=0.2, lr_preconditioner=0.1,
+                    dtype=jnp.bfloat16)
+    params, state, aux = _run(opt, quad_loss, params, 150, A)
+    for leaf in jax.tree_util.tree_leaves(state.precond):
+        if leaf.dtype in (jnp.float32, jnp.bfloat16):  # skip int shape tables
+            assert leaf.dtype == jnp.bfloat16, leaf.dtype
+    assert float(aux["loss"]) < 0.2 * loss0
+
+
 def test_fd_matches_exact_trajectory():
     """FD-Hvp should track the exact-Hvp trajectory closely on a smooth
     problem (same keys, same data)."""
