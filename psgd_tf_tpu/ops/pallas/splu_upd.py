@@ -1,0 +1,392 @@
+"""Fused sparse-LU (splu) update — three streaming Pallas passes.
+
+The XLA path for `splu.update` (reference parity ref :396-480) issues a
+long chain of small tail operations (matvecs, outer products, max
+reductions) — at r ~ 10 every one is dispatch-latency-bound and the whole
+update ran 27x below diag's throughput in round 1. The math has the same
+shape as the LRA update (ops/pallas/lra_upd.py): a handful of rank-space
+reductions gate a map stage, which gates the factor update. Three passes:
+
+  stage 1 (reduce): ONE packed Gram over the tail,
+      Z = [U2; L2^T; U2*w; dg2; dx2*w; l3*u3*dg2] with w = 1/(l3*u3):
+      Z Z^T contains every tail reduction the corner algebra needs
+      (U2 dg2, L2^T(w dx2), L2^T L2, L2^T(l3 u3 dg2), the weighted Grams
+      U2 diag(w) L2 / U2 diag(w^2) U2^T, and U2 diag(w^2) dx2).
+  corner algebra (jnp, O(r^2)): the 4 triangular solves on the r x r
+      corner and all rank-space vectors (Ug1, iUtx1, LtQg1, iLiQtx1,
+      Qg1, iQtx1, Pg1, ...). Touches no tail data.
+  stage 2 (map + reduce): one pass recomputing the tail probe images
+      (Qg2, iQtx2, Pg2, iPx2) from rank-space coefficients -> the exact
+      max|grad| normalizers for both factor updates (the (r, nt) outer
+      differences gl2/gu2 are reduced on the fly, never stored).
+  stage 3 (map): one pass writing L2^T', U2', l3', u3' via rank-2
+      coefficient outers + diagonal terms; stage-2 intermediates are
+      recomputed rather than stored (the inputs are re-streamed anyway,
+      so storing would only add HBM traffic).
+
+Balancing (ref :411-417) rescales L by 1/rho and U by rho, which leaves
+Q = L U — and hence every probe image, both gradients, and both step
+sizes — invariant; it therefore folds into 1/rho and rho scalars on the
+OUTPUTS, exactly reproducing the reference's balanced-state return.
+
+Layouts are rank-major (groups/splu.py): tail ops are lane-wise VPU
+broadcast/reduce forms (tiny-K MXU dots would K-stream-dominate, same
+rule as the LRA kernels); the single Gram is the one MXU op.
+
+Sharded: `mesh`/`axis` wrap the three passes in one shard_map over the
+lane-partitioned tail with the Gram psum'd and the maxes pmax'd; the
+corner algebra runs redundantly per device on replicated corner blocks.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from psgd_tf_tpu.ops import linalg
+
+BLKN = 8192  # lanes per grid step
+SUB = 8      # fp32 sublane quantum (rank pads to a multiple of this)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _dotg(a, b, dims):
+    # default MXU precision: these are statistical reductions, matching
+    # the XLA baseline's bf16 GEMMs on TPU
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+# ------------------------------------------------------------------ stage 1
+
+def _stage1_kernel(l2t_ref, u2_ref, l3_ref, u3_ref, dx_ref, dg_ref, gram_ref):
+    first = pl.program_id(0) == 0
+    l2t, u2 = l2t_ref[:], u2_ref[:]
+    lu = l3_ref[:] * u3_ref[:]           # (1, B)
+    w = 1.0 / lu
+    dg = dg_ref[:]
+    rows = jnp.concatenate(
+        [
+            u2,                           # U2
+            l2t,                          # L2^T
+            u2 * w,                       # U2 diag(w)
+            dg,                           # dg2
+            dx_ref[:] * w,                # w * dx2
+            lu * dg,                      # l3 u3 dg2
+            jnp.zeros_like(l3_ref[:]),    # pad to a sublane multiple
+            jnp.zeros_like(l3_ref[:]),
+            jnp.zeros_like(l3_ref[:]),
+            jnp.zeros_like(l3_ref[:]),
+            jnp.zeros_like(l3_ref[:]),
+        ],
+        axis=0,
+    )
+
+    @pl.when(first)
+    def _():
+        gram_ref[:] = jnp.zeros_like(gram_ref)
+
+    gram_ref[:] += _dotg(rows, rows, ((1,), (1,)))
+
+
+# ------------------------------------------------------------ stages 2 & 3
+
+def _tail_images(l2t, u2, l3, u3, dx, dg, coef):
+    """Recompute the tail probe images from rank-space coefficients.
+
+    coef columns: 0 = Ug1, 1 = iUtx1, 2 = LtQg1, 3 = iLiQtx1.
+    All projections are VPU broadcast/reduce (rank on the sublane axis).
+    """
+    def proj(col, m):  # (rp, 1) . (rp, B) -> (1, B)
+        return jnp.sum(coef[:, col : col + 1] * m, axis=0, keepdims=True)
+
+    lu = l3 * u3
+    w = 1.0 / lu
+    qg2 = proj(0, l2t) + lu * dg                # L2 Ug1 + l3 u3 dg2
+    iqtx2 = w * (dx - proj(1, u2))              # (dx2 - U2^T iUtx1)/(u3 l3)
+    pg2 = proj(2, u2) + lu * qg2                # U2^T LtQg1 + u3 l3 Qg2
+    ipx2 = w * (iqtx2 - proj(3, l2t))           # (iQtx2 - L2 iLiQtx1)/(l3 u3)
+    return qg2, iqtx2, pg2, ipx2
+
+
+def _stage2_kernel(l2t_ref, u2_ref, l3_ref, u3_ref, dx_ref, dg_ref,
+                   coef_ref, maxs_ref):
+    """Exact max|grad| for both factor updates; gl2/gu2 reduced on the fly.
+
+    coef columns 0-3 as in _tail_images; 4 = Qg1, 5 = iQtx1, 6 = Pg1,
+    7 = dx1."""
+    first = pl.program_id(0) == 0
+    l3, u3 = l3_ref[:], u3_ref[:]
+    dx, dg = dx_ref[:], dg_ref[:]
+    qg2, iqtx2, pg2, ipx2 = _tail_images(
+        l2t_ref[:], u2_ref[:], l3, u3, dx, dg, coef_ref
+    )
+    gl3 = qg2 * qg2 - iqtx2 * iqtx2
+    gu3 = pg2 * dg - dx * ipx2
+
+    def col(j):
+        return coef_ref[:, j : j + 1]
+
+    gl2_max = jnp.max(jnp.abs(col(4) * qg2 - col(5) * iqtx2))
+    gu2_max = jnp.max(jnp.abs(col(6) * dg - col(7) * ipx2))
+    max_l = jnp.maximum(gl2_max, jnp.max(jnp.abs(gl3)))
+    max_u = jnp.maximum(gu2_max, jnp.max(jnp.abs(gu3)))
+
+    @pl.when(first)
+    def _():
+        maxs_ref[:] = jnp.zeros_like(maxs_ref)
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    maxs_ref[:] = jnp.maximum(
+        maxs_ref[:],
+        jnp.where(lanes == 0, max_l, jnp.where(lanes == 1, max_u, 0.0)),
+    )
+
+
+def _stage3_kernel(l2t_ref, u2_ref, l3_ref, u3_ref, dx_ref, dg_ref,
+                   coef_ref, scal_ref,
+                   newl2t_ref, newu2_ref, newl3_ref, newu3_ref):
+    """coef columns 0-3 as in _tail_images; 4 = sl*L1^T Qg1, 5 = sl*L1^T iQtx1,
+    6 = su*U1 Pg1, 7 = su*U1 dx1. scal: [sl, su, 1/rho, rho]."""
+    l3, u3 = l3_ref[:], u3_ref[:]
+    dx, dg = dx_ref[:], dg_ref[:]
+    l2t, u2 = l2t_ref[:], u2_ref[:]
+    qg2, iqtx2, pg2, ipx2 = _tail_images(l2t, u2, l3, u3, dx, dg, coef_ref)
+    gl3 = qg2 * qg2 - iqtx2 * iqtx2
+    gu3 = pg2 * dg - dx * ipx2
+
+    sl = scal_ref[0, 0]
+    su = scal_ref[0, 1]
+    inv_rho = scal_ref[0, 2]
+    rho = scal_ref[0, 3]
+
+    def col(j):  # (rp, 1)
+        return coef_ref[:, j : j + 1]
+
+    # (gl2 @ L1)^T and U1 @ gu2 are rank-2: coefficient outers (VPU)
+    newl2t_ref[:] = inv_rho * (
+        l2t - (col(4) * qg2 - col(5) * iqtx2) - sl * gl3 * l2t
+    )
+    newu2_ref[:] = rho * (
+        u2 - (col(6) * dg - col(7) * ipx2) - su * gu3 * u2
+    )
+    newl3_ref[:] = inv_rho * (l3 - sl * gl3 * l3)
+    newu3_ref[:] = rho * (u3 - su * gu3 * u3)
+
+
+# ------------------------------------------------------------------ wrapper
+
+def _identity(x):
+    return x
+
+
+def _update_impl(L1, U1, dx1, dg1, L2t, U2, l3, u3, dx2, dg2,
+                 max_l3, max_u3, step, *, tiny, interpret,
+                 psum=_identity, pmax=_identity):
+    """Full update given pre-split corner/tail blocks (tail possibly a
+    device-local shard; psum/pmax reduce the Gram and maxes across the
+    mesh axis). Returns (newL1, newL2t, newU1, newU2, newl3, newu3) with
+    the corner results identical on every device."""
+    f32 = jnp.float32
+    r = U1.shape[0]
+    nt = l3.shape[0]
+    rp = max(SUB, _cdiv(r, SUB) * SUB)
+    ntp = _cdiv(nt, BLKN) * BLKN
+    nb = ntp // BLKN
+
+    def pad_rn(m):
+        if (rp, ntp) == m.shape:
+            return m
+        return jnp.zeros((rp, ntp), f32).at[:r, :nt].set(m)
+
+    def pad_n(x, fill=0.0):
+        if ntp == x.shape[0]:
+            return x[None, :]
+        return jnp.full((1, ntp), fill, f32).at[0, :nt].set(x)
+
+    L2tp, U2p = pad_rn(L2t), pad_rn(U2)
+    l3p = pad_n(l3, fill=1.0)  # 1-fill keeps w finite in the pad
+    u3p = pad_n(u3, fill=1.0)
+    dxp, dgp = pad_n(dx2), pad_n(dg2)
+
+    blk_rn = pl.BlockSpec((rp, BLKN), lambda i: (0, i), memory_space=pltpu.VMEM)
+    blk_n = pl.BlockSpec((1, BLKN), lambda i: (0, i), memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+    # ---- stage 1: one packed Gram over the tail
+    zdim = 3 * rp + 8
+    gram = pl.pallas_call(
+        _stage1_kernel,
+        grid=(nb,),
+        in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, blk_n],
+        out_specs=rep((zdim, zdim)),
+        out_shape=jax.ShapeDtypeStruct((zdim, zdim), f32),
+        interpret=interpret,
+    )(L2tp, U2p, l3p, u3p, dxp, dgp)
+    gram = psum(gram)
+
+    iu, il, iw = slice(0, r), slice(rp, rp + r), slice(2 * rp, 2 * rp + r)
+    idg, idx, ilug = 3 * rp, 3 * rp + 1, 3 * rp + 2
+    U2_dg = gram[iu, idg]            # U2 dg2
+    L2t_dxw = gram[il, idx]          # L2^T (w dx2)
+    G_LU_w = gram[il, iw]            # L2^T diag(w) U2^T
+    G_LL = gram[il, il]              # L2^T L2
+    L2t_lug = gram[il, ilug]         # L2^T (l3 u3 dg2)
+    G_UwUw = gram[iw, iw]            # U2 diag(w^2) U2^T
+    U2_w2dx = gram[iw, idx]          # U2 diag(w^2) dx2
+
+    # ---- corner algebra (ref :430-452), balance-invariant in Q = L U
+    Ug1 = U1 @ dg1 + U2_dg
+    Qg1 = L1 @ Ug1
+    iUtx1 = linalg.solve_ut_t(U1, dx1)
+    L2t_iqtx2 = L2t_dxw - G_LU_w @ iUtx1
+    iQtx1 = linalg.solve_lt_t(L1, iUtx1 - L2t_iqtx2)
+    L2t_qg2 = G_LL @ Ug1 + L2t_lug
+    LtQg1 = L1.T @ Qg1 + L2t_qg2
+    Pg1 = U1.T @ LtQg1
+    iLiQtx1 = linalg.solve_lt(L1, iQtx1)
+    U2_ipx2 = (U2_w2dx - G_UwUw @ iUtx1) - G_LU_w.T @ iLiQtx1
+    iPx1 = linalg.solve_ut(U1, iLiQtx1 - U2_ipx2)
+
+    # corner gradients (ref :455-460, :468-473)
+    gl1 = linalg.tril(jnp.outer(Qg1, Qg1) - jnp.outer(iQtx1, iQtx1))
+    gu1 = linalg.triu(jnp.outer(Pg1, dg1) - jnp.outer(dx1, iPx1))
+
+    def pad_coef(cols):
+        c = jnp.zeros((rp, 8), f32)
+        for j, vec in enumerate(cols):
+            c = c.at[:r, j].set(vec)
+        return c
+
+    coef2 = pad_coef([Ug1, iUtx1, LtQg1, iLiQtx1, Qg1, iQtx1, Pg1, dx1])
+
+    maxs = pl.pallas_call(
+        _stage2_kernel,
+        grid=(nb,),
+        in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, blk_n, rep((rp, 8))],
+        out_specs=rep((1, 8)),
+        out_shape=jax.ShapeDtypeStruct((1, 8), f32),
+        interpret=interpret,
+    )(L2tp, U2p, l3p, u3p, dxp, dgp, coef2)
+    maxs = pmax(maxs)
+
+    mx_l = jnp.maximum(linalg.max_abs(gl1), maxs[0, 0])
+    mx_u = jnp.maximum(linalg.max_abs(gu1), maxs[0, 1])
+    step = jnp.asarray(step, f32)
+    sl = linalg.step_scale(step, mx_l, f32)
+    su = linalg.step_scale(step, mx_u, f32)
+
+    # balance scalars (ref :411-417) — grads/steps are Q-invariant, so the
+    # rescale folds into the outputs
+    max_l = jnp.maximum(jnp.max(jnp.diagonal(L1)), max_l3)
+    max_u = jnp.maximum(jnp.max(jnp.diagonal(U1)), max_u3)
+    rho = jnp.sqrt(max_l / max_u)
+    inv_rho = 1.0 / rho
+
+    coef3 = pad_coef([
+        Ug1, iUtx1, LtQg1, iLiQtx1,
+        sl * (L1.T @ Qg1), sl * (L1.T @ iQtx1),
+        su * (U1 @ Pg1), su * (U1 @ dx1),
+    ])
+    scal3 = (
+        jnp.zeros((1, 8), f32)
+        .at[0, 0].set(sl).at[0, 1].set(su)
+        .at[0, 2].set(inv_rho).at[0, 3].set(rho)
+    )
+
+    newL2t, newU2, newl3, newu3 = pl.pallas_call(
+        _stage3_kernel,
+        grid=(nb,),
+        in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, blk_n,
+                  rep((rp, 8)), rep((1, 8))],
+        out_specs=(blk_rn, blk_rn, blk_n, blk_n),
+        out_shape=(
+            jax.ShapeDtypeStruct((rp, ntp), f32),
+            jax.ShapeDtypeStruct((rp, ntp), f32),
+            jax.ShapeDtypeStruct((1, ntp), f32),
+            jax.ShapeDtypeStruct((1, ntp), f32),
+        ),
+        interpret=interpret,
+    )(L2tp, U2p, l3p, u3p, dxp, dgp, coef3, scal3)
+
+    newL1 = inv_rho * (L1 - sl * (gl1 @ L1))
+    newU1 = rho * (U1 - su * (U1 @ gu1))
+    return (
+        newL1, newL2t[:r, :nt], newU1, newU2[:r, :nt],
+        newl3[0, :nt], newu3[0, :nt],
+    )
+
+
+def fused_update(Lt, l3, U12, u3, v, h, step, tiny: float,
+                 mesh=None, axis: str = "shard", interpret: bool = False):
+    """One splu update matching groups.splu.update semantics exactly.
+
+    Lt: (r, n) = L12^T rank-major; U12: (r, n); l3, u3: (n - r,);
+    v, h: (n,). Returns (Lt', l3', U12', u3'). With `mesh`, the tail
+    streams shard over `axis` (corner work replicates)."""
+    from jax.sharding import PartitionSpec as P
+
+    r, n = U12.shape
+    L1, U1 = Lt[:, :r].T, U12[:, :r]
+    L2t, U2 = Lt[:, r:], U12[:, r:]
+    dx1, dx2 = v[:r], v[r:]
+    dg1, dg2 = h[:r], h[r:]
+    # tail maxima for the balance outside the kernels: plain XLA reductions
+    # partition fine under GSPMD, and the kernels' 1-padding stays inert
+    max_l3 = jnp.max(l3)
+    max_u3 = jnp.max(u3)
+
+    step = jnp.asarray(step, jnp.float32)
+    if mesh is None:
+        out = _update_impl(
+            L1, U1, dx1, dg1, L2t, U2, l3, u3, dx2, dg2,
+            max_l3, max_u3, step, tiny=tiny, interpret=interpret,
+        )
+    else:
+        n_dev = mesh.shape[axis]
+        nt = n - r
+        nt_pad = _cdiv(nt, n_dev) * n_dev
+        if nt_pad != nt:
+            padm = lambda m: jnp.zeros((r, nt_pad), m.dtype).at[:, :nt].set(m)
+            padv = lambda x, fill: jnp.full((nt_pad,), fill, x.dtype).at[:nt].set(x)
+            L2t, U2 = padm(L2t), padm(U2)
+            l3p, u3p = padv(l3, 1.0), padv(u3, 1.0)
+            dx2, dg2 = padv(dx2, 0.0), padv(dg2, 0.0)
+        else:
+            l3p, u3p = l3, u3
+
+        local = functools.partial(
+            _update_impl, tiny=tiny, interpret=interpret,
+            psum=functools.partial(jax.lax.psum, axis_name=axis),
+            pmax=functools.partial(jax.lax.pmax, axis_name=axis),
+        )
+        row = P(None, axis)
+        lane = P(axis)
+        out = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), row, row, lane, lane, lane, lane,
+                      P(), P(), P()),
+            out_specs=(P(), row, P(), row, lane, lane),
+            check_vma=False,
+        )(L1, U1, dx1, dg1, L2t, U2, l3p, u3p, dx2, dg2, max_l3, max_u3, step)
+        if nt_pad != nt:
+            newL1, newL2t, newU1, newU2, newl3, newu3 = out
+            out = (newL1, newL2t[:, :nt], newU1, newU2[:, :nt],
+                   newl3[:nt], newu3[:nt])
+
+    newL1, newL2t, newU1, newU2, newl3, newu3 = out
+    return (
+        jnp.concatenate([newL1.T, newL2t], axis=1),
+        newl3,
+        jnp.concatenate([newU1, newU2], axis=1),
+        newu3,
+    )

@@ -13,8 +13,9 @@ owns is block-partitioning the preconditioner state itself:
            layout (groups/xmat.py) co-locates each coupled (i, n-1-i) pair,
            so the update itself needs NO cross-device exchange; only the
            probe fold/unfold at the boundary reverses data once.
-  splu   : L12 rows / U12 cols and the diagonal tails over `shard`; the
-           r x r corner solves replicate (all_gather of r-vectors).
+  splu   : rank-major Lt/U12 columns (the parameter axis) and the diagonal
+           tails over `shard`; the r x r corner solves replicate
+           (all_gather of r-vectors).
   lra    : U, V are rank-major (r, n) — the parameter axis (axis 1) shards
            over `shard` together with d and the probes; the r x r Grams
            (V U^T etc.) become psum-reduced wide contractions.
@@ -63,7 +64,7 @@ def precond_sharding(mesh: Mesh, precond: Any) -> Any:
             af=colmat, bf=colmat, ac=rep, odd=precond.odd
         )
     if isinstance(precond, splu.SpLUState):
-        return splu.SpLUState(L12=rowmat, l3=row, U12=colmat, u3=row)
+        return splu.SpLUState(Lt=colmat, l3=row, U12=colmat, u3=row)
     if isinstance(precond, lra.LRAState):
         return lra.LRAState(U=colmat, V=colmat, d=row)
     if isinstance(precond, (list, tuple)):  # kron: replicate every factor

@@ -86,3 +86,57 @@ def test_fused_dense_matches_xla_path(n):
     ref = dense.update(dense.DenseState(Q=q), v, h, 0.1).Q
     got = dense_upd.fused_update(q, v, h, 0.1, TINY, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+# ------------------------------------------------------------------- splu
+
+def _splu_perturbed(n, r, seed=0, steps=5):
+    """A splu state walked away from identity so every block is dense."""
+    from psgd_tf_tpu.groups import splu
+    from psgd_tf_tpu.ops import pallas as pallas_ops
+
+    st = splu.init(n, rank=r, init_scale=0.7)
+    key = jax.random.PRNGKey(seed)
+    with pallas_ops.disabled():  # XLA path for setup
+        for i in range(steps):
+            v = jax.random.normal(jax.random.fold_in(key, i), (n,))
+            h = jax.random.normal(jax.random.fold_in(key, 100 + i), (n,))
+            st = splu.update(st, v, h, step=0.1)
+    return st
+
+
+@pytest.mark.parametrize("n,r", [(64, 6), (100, 10), (300, 4), (48, 1)])
+def test_fused_splu_matches_xla_path(n, r):
+    from psgd_tf_tpu.groups import splu
+    from psgd_tf_tpu.ops.pallas import splu_upd
+
+    st = _splu_perturbed(n, r)
+    key = jax.random.PRNGKey(7)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+    h = jax.random.normal(jax.random.fold_in(key, 2), (n,))
+    ref = splu.update(st, v, h, step=0.05)  # XLA path (pallas off on CPU)
+    got = splu_upd.fused_update(
+        st.Lt, st.l3, st.U12, st.u3, v, h, 0.05, TINY, interpret=True
+    )
+    for a, b in zip(got, (ref.Lt, ref.l3, ref.U12, ref.u3)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        )
+
+
+def test_fused_splu_preserves_structure():
+    """L1 stays lower-tri, U1 upper-tri through the fused update."""
+    from psgd_tf_tpu.ops.pallas import splu_upd
+
+    n, r = 80, 5
+    st = _splu_perturbed(n, r, seed=3)
+    key = jax.random.PRNGKey(9)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+    h = jax.random.normal(jax.random.fold_in(key, 2), (n,))
+    Lt, l3, U12, u3 = splu_upd.fused_update(
+        st.Lt, st.l3, st.U12, st.u3, v, h, 0.05, TINY, interpret=True
+    )
+    L1 = np.asarray(Lt[:, :r].T)
+    U1 = np.asarray(U12[:, :r])
+    np.testing.assert_allclose(L1, np.tril(L1))
+    np.testing.assert_allclose(U1, np.triu(U1))
