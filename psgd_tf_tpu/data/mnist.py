@@ -168,6 +168,91 @@ def synthetic(
     return imgs[..., None], labels.astype(jnp.int32)
 
 
+def synthetic_hard(
+    key: jax.Array, n: int, dtype=jnp.float32
+) -> tuple[jax.Array, jax.Array]:
+    """Hardened procedural digits: full per-sample affine distortion
+    (rotation ±28deg, shear, scale 0.75-1.3, continuous sub-pixel shift),
+    stroke-thickness variation (gamma), contrast, a background intensity
+    ramp, heavy noise, and occasional occlusion bars.
+
+    Purpose (VERDICT r1): the easy `synthetic` set reaches 0.0% LeNet5
+    error, so quality criteria built on it cannot fail. This set leaves
+    LeNet5 at a measurably non-zero error plateau (extreme-augmentation
+    samples are genuinely ambiguous), making matched-error targets
+    discriminating. No real-MNIST idx files exist on a hermetic host —
+    `load_idx` below stays the real-data path when staged.
+    """
+    ks = jax.random.split(key, 12)
+    labels = jax.random.randint(ks[0], (n,), 0, 10)
+    imgs = _BANK[labels]  # (n, 28, 28)
+
+    # per-sample inverse affine: rotate, shear, scale about the center
+    ang = jax.random.uniform(ks[1], (n,), minval=-0.5, maxval=0.5)
+    shear = jax.random.uniform(ks[2], (n,), minval=-0.3, maxval=0.3)
+    scale = jax.random.uniform(ks[3], (n,), minval=0.75, maxval=1.3)
+    dy = jax.random.uniform(ks[4], (n,), minval=-3.5, maxval=3.5)
+    dx = jax.random.uniform(ks[5], (n,), minval=-3.5, maxval=3.5)
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    # forward map F = scale * R(ang) @ Shear; sample at F^{-1} (output->src)
+    f00, f01 = scale * c, scale * (c * shear - s)
+    f10, f11 = scale * s, scale * (s * shear + c)
+    det = f00 * f11 - f01 * f10
+    i00, i01 = f11 / det, -f01 / det
+    i10, i11 = -f10 / det, f00 / det
+
+    yy, xx = jnp.mgrid[0:28, 0:28]
+    yy = yy.astype(jnp.float32) - 13.5
+    xx = xx.astype(jnp.float32) - 13.5
+    sy = i00[:, None, None] * yy + i01[:, None, None] * xx + 13.5 - dy[:, None, None]
+    sx = i10[:, None, None] * yy + i11[:, None, None] * xx + 13.5 - dx[:, None, None]
+
+    # bilinear sample with zero outside
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    wy = sy - y0
+    wx = sx - x0
+
+    def tap(img, yi, xi):
+        valid = (yi >= 0) & (yi < 28) & (xi >= 0) & (xi < 28)
+        vals = img[jnp.clip(yi, 0, 27), jnp.clip(xi, 0, 27)]
+        return jnp.where(valid, vals, 0.0)
+
+    def warp(img, y0, x0, wy, wx):
+        return (
+            tap(img, y0, x0) * (1 - wy) * (1 - wx)
+            + tap(img, y0, x0 + 1) * (1 - wy) * wx
+            + tap(img, y0 + 1, x0) * wy * (1 - wx)
+            + tap(img, y0 + 1, x0 + 1) * wy * wx
+        )
+
+    imgs = jax.vmap(warp)(imgs, y0, x0, wy, wx)
+
+    # stroke thickness via gamma on the soft-edged ink
+    gamma = jax.random.uniform(ks[6], (n, 1, 1), minval=0.55, maxval=2.0)
+    imgs = jnp.clip(imgs, 0.0, 1.0) ** gamma
+
+    # contrast + background ramp + noise
+    amp = jax.random.uniform(ks[7], (n, 1, 1), minval=0.5, maxval=1.0)
+    gy = jax.random.uniform(ks[8], (n, 1, 1), minval=-0.15, maxval=0.15)
+    gx = jax.random.uniform(ks[9], (n, 1, 1), minval=-0.15, maxval=0.15)
+    ramp = gy * (yy / 14.0) + gx * (xx / 14.0)
+    sigma = jax.random.uniform(ks[10], (n, 1, 1), minval=0.08, maxval=0.22)
+    noise = sigma * jax.random.normal(ks[11], imgs.shape)
+
+    # occlusion bar: a 4-px strip dimmed to 20%, ~30% of samples
+    kb1, kb2, kb3 = jax.random.split(ks[0], 3)
+    pos = jax.random.randint(kb1, (n, 1, 1), 4, 24)
+    horiz = jax.random.bernoulli(kb2, 0.5, (n, 1, 1))
+    occlude = jax.random.bernoulli(kb3, 0.3, (n, 1, 1))
+    coord = jnp.where(horiz, yy[None], xx[None]) + 13.5
+    bar = (coord >= pos) & (coord < pos + 4) & occlude
+    imgs = jnp.where(bar, 0.2 * imgs, imgs)
+
+    imgs = jnp.clip(amp * imgs + ramp + noise, 0.0, 1.0).astype(dtype)
+    return imgs[..., None], labels.astype(jnp.int32)
+
+
 def load_idx(data_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Read pre-staged MNIST idx(.gz) files: returns (x_train, y_train,
     x_test, y_test) with images (n, 28, 28, 1) float32 in [0, 1].

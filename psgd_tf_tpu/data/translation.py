@@ -35,10 +35,15 @@ def batch(
     batch_size: int = 64,
     max_len: int = 16,
     content_vocab: int = 29,
+    min_len: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns (src, tgt), each (batch, max_len + 2) int32 with BOS/EOS/PAD."""
+    """Returns (src, tgt), each (batch, max_len + 2) int32 with BOS/EOS/PAD.
+
+    `min_len=max_len` yields a PAD-free batch (tests of padding-sensitive
+    behavior)."""
     k_len, k_tok = jax.random.split(key)
-    lengths = jax.random.randint(k_len, (batch_size,), max_len // 4, max_len + 1)
+    lo = max_len // 4 if min_len is None else min_len
+    lengths = jax.random.randint(k_len, (batch_size,), lo, max_len + 1)
     toks = jax.random.randint(
         k_tok, (batch_size, max_len), SPECIALS, SPECIALS + content_vocab
     )

@@ -274,20 +274,45 @@ def update(
         else:
             ql, qr = _update_dd(ql, qr, dX, dG, s, t)
     elif fmt == ("norm", "dense"):
-        ql, qr = _update_nd(ql, qr, dX, dG, s, t)
+        ql, qr = _sparse_dispatch("nd", _update_nd, ql, qr, dX, dG, s, t)
     elif fmt == ("dense", "norm"):      # mirror of (norm, dense), ref :86
-        qr, ql = _update_nd(qr, ql, dX.T, dG.T, s, t)
+        qr, ql = _sparse_dispatch("nd", _update_nd, qr, ql, dX.T, dG.T, s, t)
     elif fmt == ("dense", "scale"):
-        ql, qr = _update_ds(ql, qr, dX, dG, s, t)
+        ql, qr = _sparse_dispatch("ds", _update_ds, ql, qr, dX, dG, s, t)
     elif fmt == ("scale", "dense"):     # mirror of (dense, scale), ref :102
-        qr, ql = _update_ds(qr, ql, dX.T, dG.T, s, t)
+        qr, ql = _sparse_dispatch("ds", _update_ds, qr, ql, dX.T, dG.T, s, t)
     elif fmt == ("norm", "scale"):
-        ql, qr = _update_ns(ql, qr, dX, dG, s, t)
+        ql, qr = _sparse_dispatch("ns", _update_ns, ql, qr, dX, dG, s, t)
     elif fmt == ("scale", "norm"):      # mirror of (norm, scale), ref :104
-        qr, ql = _update_ns(qr, ql, dX.T, dG.T, s, t)
+        qr, ql = _sparse_dispatch("ns", _update_ns, qr, ql, dX.T, dG.T, s, t)
     else:
         raise ValueError(f"unsupported Kronecker format pair: {fmt}")
     return state.replace(ql=ql, qr=qr)
+
+
+def _sparse_dispatch(kind, xla_fn, a, b, dX, dG, s, t):
+    """Route a sparse-format pair update to its one-launch fused kernel
+    (ops/pallas/kron_sparse.py) when active, else the XLA path."""
+    from psgd_tf_tpu.ops import pallas as pallas_ops
+    from psgd_tf_tpu.ops.pallas import kron_sparse
+
+    if (
+        pallas_ops.kernels_active()
+        and jnp.result_type(a) == jnp.float32
+        and kron_sparse.fits(*dX.shape)
+    ):
+        fn = {
+            "ns": kron_sparse.fused_update_ns,
+            "ds": kron_sparse.fused_update_ds,
+            "nd": kron_sparse.fused_update_nd,
+        }[kind]
+        return pallas_ops.replicated_call(
+            lambda *args: fn(
+                *args, t, interpret=pallas_ops.interpret_default()
+            ),
+            a, b, dX, dG, s,
+        )
+    return xla_fn(a, b, dX, dG, s, t)
 
 
 def apply(state: KronState, G: jax.Array) -> jax.Array:

@@ -123,10 +123,17 @@ def decode_step(params, tok: jax.Array, h: jax.Array, enc: jax.Array, src_mask: 
     return logits, h
 
 
-def loss(params, src: jax.Array, tgt: jax.Array) -> jax.Array:
-    """Masked teacher-forcing CE over the whole target (ref :162-167,
-    :183-190): feed tgt[:, t], predict tgt[:, t+1], PAD masked."""
-    src_mask = src != PAD
+def _teacher_forced_logits(
+    params, src: jax.Array, tgt: jax.Array, mask_attention: bool = True
+) -> jax.Array:
+    """(batch, T-1, vocab) logits: feed tgt[:, t], predict tgt[:, t+1].
+
+    `mask_attention=False` reproduces the reference's behavior of leaving
+    PAD positions IN the attention softmax (ref :126-137) — used by tests
+    to pin down the size of this documented deviation (identical on
+    unpadded batches; tests/test_models.py quantifies padded batches).
+    """
+    src_mask = (src != PAD) if mask_attention else jnp.ones_like(src, bool)
     enc = encode(params, src)
     # decoder starts from the encoder's LAST hidden state (ref :184, :219)
     h0 = enc[:, -1, :]
@@ -136,9 +143,27 @@ def loss(params, src: jax.Array, tgt: jax.Array) -> jax.Array:
         return h, logits
 
     _, logits = lax.scan(step, h0, jnp.swapaxes(tgt[:, :-1], 0, 1))
-    logits = jnp.swapaxes(logits, 0, 1)  # (batch, T-1, vocab)
+    return jnp.swapaxes(logits, 0, 1)
+
+
+def loss(params, src: jax.Array, tgt: jax.Array) -> jax.Array:
+    """Masked teacher-forcing CE over the whole target (ref :162-167,
+    :183-190): feed tgt[:, t], predict tgt[:, t+1], PAD masked."""
+    logits = _teacher_forced_logits(params, src, tgt)
     real = tgt[:, 1:]
     logp = jax.nn.log_softmax(logits)
     nll = -jnp.take_along_axis(logp, real[..., None], axis=-1)[..., 0]
     mask = (real != PAD).astype(nll.dtype)
     return jnp.mean(nll * mask)
+
+
+def token_accuracy(params, src: jax.Array, tgt: jax.Array) -> jax.Array:
+    """Teacher-forced next-token accuracy on non-PAD positions — the
+    discriminating quality metric for the NMT workload (an untrained model
+    sits near 1/vocab; 'loss halved' can't distinguish optimizers,
+    VERDICT r1)."""
+    logits = _teacher_forced_logits(params, src, tgt)
+    real = tgt[:, 1:]
+    hit = (jnp.argmax(logits, axis=-1) == real).astype(jnp.float32)
+    mask = (real != PAD).astype(jnp.float32)
+    return jnp.sum(hit * mask) / jnp.maximum(jnp.sum(mask), 1.0)

@@ -22,13 +22,13 @@ from psgd_tf_tpu.models import nmt
 
 
 def run(
-    steps: int = 400,
+    steps: int = 1000,
     batch_size: int = 64,
     max_len: int = 16,
     seed: int = 0,
     exact_hvp: bool = False,
     cfg: nmt.Config = nmt.Config(),
-    lr: float = 0.02,
+    lr: float = 0.05,
 ) -> dict:
     key = jax.random.PRNGKey(seed)
     k_init, k_opt, key = jax.random.split(key, 3)
@@ -37,12 +37,13 @@ def run(
         preconditioner="kron",
         kron_formats=nmt.kron_formats(cfg),
         lr_params=lr,
-        lr_preconditioner=0.02,
+        lr_preconditioner=lr,
         grad_clip_max_norm=1.0,
         exact_hessian_vector_product=exact_hvp,
     )
     state = opt.init(params, k_opt)
     step = jax.jit(partial(opt.step, nmt.loss))
+    token_acc = jax.jit(nmt.token_accuracy)
 
     first = None
     loss = None
@@ -55,11 +56,22 @@ def run(
         if first is None:
             first = float(aux["loss"])
         loss = aux["loss"]
-    final = float(loss)
+
+    # held-out evaluation batch: teacher-forced token accuracy. An
+    # untrained model scores ~1/vocab (~4%); the measured PSGD trajectory
+    # (v5e, lr 0.05, FD Hvp) passes 0.86 at step 800 and 0.93 at step 1000
+    # (VALIDATION.md). 0.75 at the default 1000 steps is the discriminating
+    # bar — the old "loss halved" criterion couldn't fail (VERDICT r1).
+    key, k_eval = jax.random.split(key)
+    eval_src, eval_tgt = translation.batch(
+        k_eval, 256, max_len, cfg.vocab_src - translation.SPECIALS
+    )
+    acc = float(token_acc(params, eval_src, eval_tgt))
     return {
-        "loss": final,
+        "loss": float(loss),
         "first_loss": first,
-        "success": final < 0.5 * first,
+        "token_accuracy": acc,
+        "success": acc > 0.75,
         "steps": steps,
     }
 

@@ -140,3 +140,43 @@ def test_fused_splu_preserves_structure():
     U1 = np.asarray(U12[:, :r])
     np.testing.assert_allclose(L1, np.tril(L1))
     np.testing.assert_allclose(U1, np.triu(U1))
+
+
+# ----------------------------------------------------- sparse kron formats
+
+@pytest.mark.parametrize("fmt", [("norm", "scale"), ("dense", "scale"), ("norm", "dense")], ids=str)
+@pytest.mark.parametrize("shape", [(12, 8), (130, 65), (321, 128)])
+def test_fused_sparse_kron_matches_xla_path(fmt, shape):
+    from psgd_tf_tpu.ops.pallas import kron_sparse
+
+    fn = {
+        ("norm", "scale"): kron_sparse.fused_update_ns,
+        ("dense", "scale"): kron_sparse.fused_update_ds,
+        ("norm", "dense"): kron_sparse.fused_update_nd,
+    }[fmt]
+    m, n = shape
+    key = jax.random.PRNGKey(3)
+    st = kron.init(shape, fmt=fmt, init_scale=0.8)
+    for i in range(5):  # walk off identity (XLA path on CPU)
+        dX = jax.random.normal(jax.random.fold_in(key, i), shape)
+        dG = jax.random.normal(jax.random.fold_in(key, 100 + i), shape)
+        st = kron.update(st, dX, dG, step=0.05)
+    dX = jax.random.normal(jax.random.fold_in(key, 55), shape)
+    dG = jax.random.normal(jax.random.fold_in(key, 56), shape)
+    ref = kron.update(st, dX, dG, step=0.05)
+    got_l, got_r = fn(st.ql, st.qr, dX, dG, 0.05, TINY, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref.ql), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(ref.qr), rtol=2e-5, atol=2e-6)
+
+
+def test_fused_sparse_kron_arrow_convention_preserved():
+    """ql1[-1] stays exactly 0 through the fused (norm, scale) update."""
+    from psgd_tf_tpu.ops.pallas import kron_sparse
+
+    m, n = 37, 21
+    st = kron.init((m, n), fmt=("norm", "scale"), init_scale=0.6)
+    key = jax.random.PRNGKey(5)
+    dX = jax.random.normal(jax.random.fold_in(key, 1), (m, n))
+    dG = jax.random.normal(jax.random.fold_in(key, 2), (m, n))
+    ql, qr = kron_sparse.fused_update_ns(st.ql, st.qr, dX, dG, 0.1, TINY, interpret=True)
+    assert float(ql[1, -1]) == 0.0
