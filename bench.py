@@ -152,6 +152,47 @@ def bench_lenet5_steps_per_sec(batch_size: int = 64, chain: int = 200) -> float:
     return 1.0 / min(s for s in slopes if s > 0)
 
 
+def measure_stream_bw(n: int = 1 << 25) -> float:
+    """Achievable HBM stream bandwidth (GB/s): a saxpy whose working set
+    (128 MB at the default n) exceeds v5e's VMEM, forcing HBM residency.
+    Smaller working sets run VMEM-resident on this chip (a 64 MB saxpy
+    measures ~49 TB/s), so per-family speed-of-light ratios below can
+    legitimately exceed 1.0 when the family's state fits VMEM."""
+    step = jax.jit(lambda x: x * 1.0000001 + 0.5)
+    dt = time_chained(
+        step,
+        lambda rep: jax.random.normal(jax.random.PRNGKey(rep), (n,)),
+        iters=30,
+    )
+    return 8.0 * n / dt / 1e9
+
+
+def family_traffic_bytes(family: str, n: int, rank: int = 10) -> float:
+    """Analytic MINIMUM HBM bytes per update+apply pair (fp32, each array
+    touched once per required pass; perfect fusion assumed):
+
+      diag : update reads q,v,h + writes q' (4n); apply reads q',g +
+             writes out (3n)                                  -> 28n B
+      xmat : folded (2, m) state = 2n values; update reads state(2n),
+             v,h(2n) + writes state'(2n); apply reads state'(2n), g +
+             writes out                                       -> 40n B
+      lra  : three streaming passes over U,V (2nr each) + vectors, one
+             factor write, temp vectors; apply reads U,V,d,g + writes
+             (ops/pallas/lra_upd.py traffic model)   -> (10nr + 19n) * 4 B
+      splu : same three-pass shape over Lt,U12 (ops/pallas/splu_upd.py)
+                                                     -> (10nr + 18n) * 4 B
+      dense: update reads Q + writes Q' (2n^2); apply streams Q twice
+             (Qg then Q^T(Qg))                       -> 4n^2 * 4 B
+    """
+    return 4.0 * {
+        "diag": 7 * n,
+        "xmat": 10 * n,
+        "lra": 10 * n * rank + 19 * n,
+        "splu": 10 * n * rank + 18 * n,
+        "dense": 4 * n * n,
+    }[family]
+
+
 def bench_family_nnz_per_sec(family: str, n: int, rank: int = 10) -> float:
     """Sequential update+apply throughput on a flat n-parameter problem."""
     from psgd_tf_tpu.groups import base
@@ -190,19 +231,78 @@ def bench_family_nnz_per_sec(family: str, n: int, rank: int = 10) -> float:
     return nnz / dt
 
 
+def bench_nmt_step_us(exact: bool = False) -> float:
+    """Full PSGD training-step time on the NMT flagship (mixed per-layer
+    kron formats, ref nmt:99-148), batch 64 — FD Hvp by default (the
+    reference's noted-faster configuration, ref nmt:239-240)."""
+    from psgd_tf_tpu import PSGD
+    from psgd_tf_tpu.data import translation
+    from psgd_tf_tpu.models import nmt
+
+    cfg = nmt.Config()
+    key = jax.random.PRNGKey(0)
+    params = nmt.init(key, cfg)
+    src, tgt = translation.batch(jax.random.fold_in(key, 1), 64, 16)
+    opt = PSGD(
+        preconditioner="kron", kron_formats=nmt.kron_formats(cfg),
+        lr_params=0.05, lr_preconditioner=0.05, grad_clip_max_norm=1.0,
+        exact_hessian_vector_product=exact,
+    )
+    state = opt.init(params, key)
+
+    def step(carry):
+        p, s, k = carry
+        k, sub = jax.random.split(k)
+        p, s, _ = opt.step(nmt.loss, p, s, sub, src, tgt)
+        return (p, s, k)
+
+    dt = time_chained(
+        step, lambda rep: (params, state, jax.random.PRNGKey(rep)), iters=30
+    )
+    return dt * 1e6
+
+
 def main():
     backend = jax.default_backend()
     log(f"backend={backend} devices={jax.devices()}")
 
     results = {}
+    stream_bw = measure_stream_bw() if backend == "tpu" else None
+    if stream_bw:
+        results["hbm_stream_gb_per_sec"] = stream_bw
+        log(f"HBM stream bound (128MB saxpy): {stream_bw:.0f} GB/s")
+
     sizes = {"diag": 1 << 22, "xmat": 1 << 22, "lra": 1 << 20, "splu": 1 << 16, "dense": 1 << 12}
     for famname, n in sizes.items():
         try:
             nps = bench_family_nnz_per_sec(famname, n)
             results[f"{famname}_nnz_per_sec"] = nps
-            log(f"{famname:6s} n={n:>8d}  {nps/1e9:8.3f} Gnnz/s")
+            sol = ""
+            if stream_bw:
+                nnz = {
+                    "lra": 2 * n * 10 + n,
+                    "splu": 2 * n * 10 + 2 * (n - 10),
+                    "dense": n * (n + 1) // 2,
+                    "diag": n,
+                    "xmat": 2 * n,
+                }[famname]
+                gbs = family_traffic_bytes(famname, n) * (nps / nnz) / 1e9
+                frac = gbs / stream_bw
+                results[f"{famname}_pct_of_stream_bound"] = frac
+                sol = (
+                    f"  traffic {gbs:6.0f} GB/s = {frac:5.1%} of HBM bound"
+                    + (" (VMEM-resident)" if frac > 1 else "")
+                )
+            log(f"{famname:6s} n={n:>8d}  {nps/1e9:8.3f} Gnnz/s{sol}")
         except Exception as exc:  # noqa: BLE001 — report and continue
             log(f"{famname} bench failed: {exc}")
+
+    try:
+        nmt_us = bench_nmt_step_us()
+        results["nmt_fd_step_us"] = nmt_us
+        log(f"nmt mixed-kron FD step: {nmt_us:.0f} us/step")
+    except Exception as exc:  # noqa: BLE001
+        log(f"nmt bench failed: {exc}")
 
     sps = bench_lenet5_steps_per_sec()
     results["lenet5_steps_per_sec"] = sps

@@ -23,11 +23,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from psgd_tf_tpu.ops.pallas.tri import BS, _newton_inv
+from psgd_tf_tpu.ops.pallas.tri import BS, VMEM_LIMIT, _newton_inv
 
 # VMEM cap: Q, the rank-2 gradient, and the G Q product are all (n, n)
-# live at once; 1024 was measured to OOM the 16MB scoped vmem.
-MAX_N = 768
+# live at once (~4 n^2 fp32 arrays + solve temps); with the raised
+# VMEM_LIMIT (tri.py) 1536 fits where the 16MB default OOMed at 1024.
+MAX_N = 1536
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -108,5 +109,6 @@ def fused_update(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(qp, pad_v, pad_h, s)
     return out[:n, :n]

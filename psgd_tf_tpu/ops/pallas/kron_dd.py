@@ -17,8 +17,8 @@ all intermediates in VMEM and does the entire update in one launch:
 
 Inputs pad to 128 multiples with an identity diagonal extension, which
 keeps the solves and updates exact; masks keep the padded diagonal out of
-the balancing maxima. Cap: padded sides <= 512 (VMEM budget), callers fall
-back to the XLA path above that.
+the balancing maxima. Cap: padded sides <= MAX_SIDE (raised-limit VMEM
+budget, tri.VMEM_LIMIT), callers fall back to the XLA path above that.
 """
 from __future__ import annotations
 
@@ -31,12 +31,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from psgd_tf_tpu.ops.pallas import tri as tri_mod
-from psgd_tf_tpu.ops.pallas.tri import BS, _eye, _newton_inv
+from psgd_tf_tpu.ops.pallas.tri import BS, VMEM_LIMIT, _eye, _newton_inv
 
 # VMEM budget: the kernel holds ~9 (side, side) fp32 arrays live (factors,
-# probes, A/Bt, grads, products); 384 -> ~5.3MB blocks tops out around
-# 13MB, 512 was measured to OOM at 22.3MB against the 16MB scoped limit.
-MAX_SIDE = 384
+# probes, A/Bt, grads, products). Round 1 capped at 384 against the 16MB
+# default scoped-vmem limit (512 OOMed at 22.3MB); the pallas_calls now
+# request VMEM_LIMIT (v5e has 128MB physical VMEM), lifting the cap to the
+# reference's own kron capacity guidance of ~1e3 per side (README.md:54).
+MAX_SIDE = 1024
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -187,6 +189,7 @@ def fused_update(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(pad_q(ql, mp), pad_q(qr, np_), pad_m(dx), pad_m(dg), s)
     return new_ql[:m, :m], new_qr[:n, :n]
 
@@ -253,5 +256,6 @@ def fused_update_batched(
             jax.ShapeDtypeStruct((B, T, T), qr.dtype),
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(mn, s, ql, qr, dx, dg)
     return new_ql, new_qr

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from psgd_tf_tpu.ops.pallas.tri import BS
+from psgd_tf_tpu.ops.pallas.tri import BS, VMEM_LIMIT
 from psgd_tf_tpu.ops.pallas.kron_dd import _left_solve_t, _right_solve
 
 # single-launch VMEM budget: ~6 (mp, np) intermediates + dense factors
@@ -275,6 +275,7 @@ def _call(kernel, factor_args, out_shapes, dx, dg, step, tiny, m, n,
             pl.BlockSpec(memory_space=pltpu.VMEM) for _ in out_shapes
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(*factor_args, _pad_probe(dx, mp, np_), _pad_probe(dg, mp, np_), s)
 
 

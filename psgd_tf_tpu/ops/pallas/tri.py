@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+VMEM_LIMIT = 100 * 2**20  # requested scoped-VMEM for single-launch kernels
+#   (v5e has 128MB physical VMEM; the 16MB default capped round-1 kernel sizes)
 BS = 128
 MAX_N = 768  # VMEM cap for the single-launch kernel (measured: 1024 OOMs the 16MB scoped vmem)
 
