@@ -51,23 +51,29 @@ def update(
 
     q = state.Q
     n = q.shape[0]
-    if (
-        pallas_ops.kernels_active()
-        and q.dtype == jnp.float32  # kernel is fp32-only; XLA path below
-        #                           # serves half precision (ref Note 3)
-        and n <= pallas_ops.dense_upd.MAX_N
-    ):
-        # under a mesh, Q at this size is replicated by policy (<= MAX_N,
-        # parallel/policies.py), so the kernel runs per-device via the
-        # all-replicated shard_map wrap
-        new_q = pallas_ops.replicated_call(
-            lambda *a: pallas_ops.dense_upd.fused_update(
-                *a, linalg.tiny(q.dtype),
-                interpret=pallas_ops.interpret_default(),
-            ),
-            q, v, h, step,
-        )
-        return DenseState(Q=new_q)
+    if pallas_ops.kernels_active() and q.dtype == jnp.float32:
+        # fp32-only kernels; the XLA path below serves half precision
+        # (ref Note 3)
+        if n <= pallas_ops.dense_upd.MAX_N:
+            # single-launch, Q VMEM-resident. Under a mesh, Q at this size
+            # is replicated by policy (parallel/policies.py), so the kernel
+            # runs per-device via the all-replicated shard_map wrap.
+            new_q = pallas_ops.replicated_call(
+                lambda *a: pallas_ops.dense_upd.fused_update(
+                    *a, linalg.tiny(q.dtype),
+                    interpret=pallas_ops.interpret_default(),
+                ),
+                q, v, h, step,
+            )
+            return DenseState(Q=new_q)
+        if n <= pallas_ops.dense_big.MAX_N and pallas_ops.shard_ctx() is None:
+            # gridded HBM-streaming stages (ops/pallas/dense_big.py) up to
+            # the reference's ~1e4-param dense capacity (README.md:54);
+            # under a mesh this size row-shards and takes the XLA path
+            new_q = pallas_ops.dense_big.fused_update(
+                q, v, h, step, linalg.tiny(q.dtype)
+            )
+            return DenseState(Q=new_q)
     a = q @ h
     b = linalg.solve_ut_t(q, v)
     step0 = linalg.step_scale(step, linalg.triu_outer_diff_maxabs(a, b), q.dtype)

@@ -180,3 +180,27 @@ def test_fused_sparse_kron_arrow_convention_preserved():
     dG = jax.random.normal(jax.random.fold_in(key, 2), (m, n))
     ql, qr = kron_sparse.fused_update_ns(st.ql, st.qr, dX, dG, 0.1, TINY, interpret=True)
     assert float(ql[1, -1]) == 0.0
+
+
+# ------------------------------------------------------ gridded large dense
+
+@pytest.mark.parametrize("n", [300, 550])
+def test_gridded_dense_matches_xla_path(n):
+    """The HBM-streaming staged kernel (dense_big) against the XLA rank-2
+    cumsum path — including non-BLK-multiple n (identity pad)."""
+    from psgd_tf_tpu.ops.pallas import dense_big
+
+    key = jax.random.PRNGKey(11)
+    st = dense.init(n, 0.8)
+    for i in range(3):
+        v = jax.random.normal(jax.random.fold_in(key, i), (n,))
+        h = jax.random.normal(jax.random.fold_in(key, 100 + i), (n,))
+        st = dense.update(st, v, h, step=0.1)  # XLA path on CPU
+    v = jax.random.normal(jax.random.fold_in(key, 9), (n,))
+    h = jax.random.normal(jax.random.fold_in(key, 10), (n,))
+    ref = dense.update(st, v, h, step=0.05)
+    got = dense_big.fused_update(st.Q, v, h, 0.05, TINY, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref.Q), rtol=2e-5, atol=2e-6)
+    # triangularity survives the staged update
+    got = np.asarray(got)
+    np.testing.assert_allclose(got, np.triu(got), atol=1e-7)
