@@ -222,8 +222,12 @@ def bench_family_nnz_per_sec(family: str, n: int, rank: int = 10) -> float:
     def step(carry):
         st, v, h, key = carry
         key = jax.random.fold_in(key, 7)
-        st = fam.update(st, v, h, step=1e-4, key=key)
-        pre = fam.apply(st, v)
+        if hasattr(fam, "update_apply"):
+            # the optimizer's production path: fused Q-update + precondition
+            st, pre = fam.update_apply(st, v, h, v, step=1e-4, key=key)
+        else:
+            st = fam.update(st, v, h, step=1e-4, key=key)
+            pre = fam.apply(st, v)
         # thread the apply result back so neither op is dead code
         return st, v + 1e-30 * pre, h, key
 

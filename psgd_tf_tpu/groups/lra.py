@@ -183,6 +183,42 @@ def apply(state: LRAState, g: jax.Array) -> jax.Array:
     return state.d * _ip_uvt_matvec(state.V, state.U, x)
 
 
+def update_apply(
+    state: LRAState,
+    v: jax.Array,
+    h: jax.Array,
+    g: jax.Array,
+    step: jax.Array | float = 0.01,
+    key: jax.Array | None = None,
+) -> tuple[LRAState, jax.Array]:
+    """update() followed by apply() of the UPDATED state, fused on TPU:
+    the apply's rank-space reductions ride the update's stage-3 sweep
+    while the new factors are VMEM-resident (ops/pallas/lra_upd.py),
+    saving the separate apply's four factor passes. Identical results to
+    the two-call sequence (the optimizer's with-update branch)."""
+    if key is None:
+        raise ValueError("lra.update_apply requires a PRNG key")
+    from psgd_tf_tpu.ops import pallas as pallas_ops  # late: avoid cycle
+
+    dtype = state.d.dtype
+    t = linalg.tiny(dtype)
+    ctx = pallas_ops.shard_ctx()
+    if ctx is not None and dtype == jnp.float32:
+        mesh, axis = ctx
+        new_U, new_V, new_d, pre = pallas_ops.lra_upd.fused_update_apply_sharded(
+            state.U, state.V, state.d, v, h, g, step, key, t,
+            mesh=mesh, axis=axis, interpret=pallas_ops.interpret_default(),
+        )
+        return LRAState(U=new_U, V=new_V, d=new_d), pre
+    if pallas_ops.enabled() and dtype == jnp.float32:
+        new_U, new_V, new_d, pre = pallas_ops.lra_upd.fused_update_apply(
+            state.U, state.V, state.d, v, h, g, step, key, t
+        )
+        return LRAState(U=new_U, V=new_V, d=new_d), pre
+    st = update(state, v, h, step=step, key=key)
+    return st, apply(st, g)
+
+
 def materialize(state: LRAState) -> jax.Array:
     """Dense P = Q^T Q for tests only."""
     n = state.d.shape[0]

@@ -212,6 +212,29 @@ def update(
     )
 
 
+def update_apply(
+    state: SpLUState,
+    v: jax.Array,
+    h: jax.Array,
+    g: jax.Array,
+    step: jax.Array | float = 0.01,
+    key: jax.Array | None = None,
+) -> tuple[SpLUState, jax.Array]:
+    """update() followed by apply() of the UPDATED state.
+
+    A fused variant exists (splu_upd.fused_update(..., g=g): the apply
+    Gram rides the update's stage-3 sweep plus one map pass, same
+    architecture as lra's) and matches this sequence to float rounding —
+    but MEASURED SLOWER on v5e (n=1M r=10: +2.6ms vs the XLA apply
+    chain's 365us; the stage-3 accumulator output appears to serialize
+    Mosaic's grid pipelining here where lra's identical pattern doesn't).
+    Until that is understood, this routes through the separate calls;
+    lra.update_apply keeps its fused path (+22% measured)."""
+    del key
+    st = update(state, v, h, step=step)
+    return st, apply(st, g)
+
+
 def apply(state: SpLUState, g: jax.Array) -> jax.Array:
     """P g via the block matvec chain U -> L -> L^T -> U^T (ref :506-516)."""
     r = state.rank

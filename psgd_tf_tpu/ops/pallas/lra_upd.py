@@ -147,6 +147,58 @@ def _stage3_kernel(u_ref, v_ref, d_ref, qh_ref, b_ref, nd_ref,
     newd_ref[:] = d_ref[:] - mu_d * d_ref[:] * nd_ref[:]
 
 
+# -------------------------------------------------- stages 3+4 with apply
+# Fused update+apply: the optimizer preconditions the gradient right after
+# the Q update, and the plain apply re-reads the just-written factors
+# FOUR times (t1 = V'y; z = y + t1 U'; t2 = U'z; out = d'(z + t2 V')).
+# Folding the apply's rank-space reductions into stage 3 (the new factors
+# are already in VMEM) leaves ONE map pass: with y = d'g,
+#   t1 = V'y, t2 = U'y + (U'U'^T) t1, out = d'(y + t1 U' + t2 V').
+
+def _stage3_apply_kernel(u_ref, v_ref, d_ref, g_ref, qh_ref, b_ref, nd_ref,
+                         coef_ref, scal_ref,
+                         newu_ref, newv_ref, newd_ref, gram2_ref):
+    first = pl.program_id(0) == 0
+    a = qh_ref[:]
+    b = b_ref[:]
+    cu = scal_ref[0, 0]
+    cv = scal_ref[0, 1]
+    mu_d = scal_ref[0, 2]
+
+    def col(j):
+        return coef_ref[:, j : j + 1]
+
+    av = a + jnp.sum(col(4) * v_ref[:], axis=0, keepdims=True)
+    bv = b + jnp.sum(col(5) * v_ref[:], axis=0, keepdims=True)
+
+    newu = cu * u_ref[:] - (col(0) * a - col(1) * b)
+    newv = cv * v_ref[:] - (col(2) * av - col(3) * bv)
+    newd = d_ref[:] - mu_d * d_ref[:] * nd_ref[:]
+    newu_ref[:] = newu
+    newv_ref[:] = newv
+    newd_ref[:] = newd
+
+    # packed apply Gram: Z2 = [U'; V'; y] -> Gu', U'y, V'y in one K-stream
+    y = newd * g_ref[:]
+    z2 = jnp.concatenate(
+        [newu, newv, y] + [jnp.zeros_like(y)] * 7, axis=0
+    )
+
+    @pl.when(first)
+    def _():
+        gram2_ref[:] = jnp.zeros_like(gram2_ref)
+
+    gram2_ref[:] += _dotg(z2, z2, ((1,), (1,)))
+
+
+def _stage4_kernel(u_ref, v_ref, d_ref, g_ref, coef_ref, out_ref):
+    """out = d' * (y + t1 U' + t2 V'); coef cols: 0 = t1, 1 = t2."""
+    y = d_ref[:] * g_ref[:]
+    t1u = jnp.sum(coef_ref[:, 0:1] * u_ref[:], axis=0, keepdims=True)
+    t2v = jnp.sum(coef_ref[:, 1:2] * v_ref[:], axis=0, keepdims=True)
+    out_ref[:] = d_ref[:] * (y + t1u + t2v)
+
+
 # ------------------------------------------------------------------ wrapper
 
 def _identity(x):
@@ -154,13 +206,17 @@ def _identity(x):
 
 
 def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
-                 psum=_identity, pmax=_identity):
+                 psum=_identity, pmax=_identity, g=None):
     """The three-stage fused update over a (possibly device-local) block.
 
     `psum`/`pmax` reduce the rank-space quantities across a mesh axis when
     the parameter (lane) axis is sharded (fused_update_sharded); identity
     on a single device. All O(r^2) algebra between the streaming stages is
     computed redundantly per device — it never touches (r, n) data.
+
+    With `g`, the preconditioned gradient P' g of the UPDATED state is
+    computed in the same sweep (stage 3 accumulates the apply Gram, one
+    extra map pass) and returned as a fourth output.
     """
     r, n = U.shape
     rp = max(SUB, _cdiv(r, SUB) * SUB)
@@ -179,9 +235,11 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
         Up, Vp = pad_rn(U), pad_rn(V)
         dp = pad_n(d, fill=1.0)  # 1-fill keeps w = v/d finite in the pad
         hp, vp = pad_n(h), pad_n(v)
+        gp = pad_n(g) if g is not None else None
     else:
         Up, Vp = U, V
         dp, hp, vp = d[None, :], h[None, :], v[None, :]
+        gp = g[None, :] if g is not None else None
 
     blk_rn = pl.BlockSpec((rp, BLKN), lambda i: (0, i), memory_space=pltpu.VMEM)
     blk_n = pl.BlockSpec((1, BLKN), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -301,23 +359,62 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
     coef3 = jnp.concatenate([coef3, jnp.zeros((rp, 2), f32)], axis=1)
     scal3 = jnp.zeros((1, 8), f32).at[0, 0].set(cu).at[0, 1].set(cv).at[0, 2].set(mu_d)
 
-    newU, newV, newd = pl.pallas_call(
-        _stage3_kernel,
+    if g is None:
+        newU, newV, newd = pl.pallas_call(
+            _stage3_kernel,
+            grid=(nb,),
+            in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, blk_n,
+                      rep((rp, 8)), rep((1, 8))],
+            out_specs=(blk_rn, blk_rn, blk_n),
+            out_shape=(
+                jax.ShapeDtypeStruct((rp, np_), f32),
+                jax.ShapeDtypeStruct((rp, np_), f32),
+                jax.ShapeDtypeStruct((1, np_), f32),
+            ),
+            interpret=interpret,
+        )(Up, Vp, dp, qh_vec, b_vec, nd_vec, coef3, scal3)
+
+        if padded:
+            return newU[:r, :n], newV[:r, :n], newd[0, :n]
+        return newU, newV, newd[0]
+
+    # ---- stage 3 + apply-Gram accumulation, then the stage-4 map
+    z2dim = 2 * rp + 8
+    newU, newV, newd, gram2 = pl.pallas_call(
+        _stage3_apply_kernel,
         grid=(nb,),
-        in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, blk_n,
+        in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, blk_n, blk_n,
                   rep((rp, 8)), rep((1, 8))],
-        out_specs=(blk_rn, blk_rn, blk_n),
+        out_specs=(blk_rn, blk_rn, blk_n, rep((z2dim, z2dim))),
         out_shape=(
             jax.ShapeDtypeStruct((rp, np_), f32),
             jax.ShapeDtypeStruct((rp, np_), f32),
             jax.ShapeDtypeStruct((1, np_), f32),
+            jax.ShapeDtypeStruct((z2dim, z2dim), f32),
         ),
         interpret=interpret,
-    )(Up, Vp, dp, qh_vec, b_vec, nd_vec, coef3, scal3)
+    )(Up, Vp, dp, gp, qh_vec, b_vec, nd_vec, coef3, scal3)
+    gram2 = psum(gram2)
+
+    iu2, iv2, iy2 = slice(0, rp), slice(rp, 2 * rp), 2 * rp
+    Gu2 = gram2[iu2, iu2]          # U' U'^T
+    uy = gram2[iu2, iy2]           # U' y
+    t1 = gram2[iv2, iy2]           # V' y
+    t2 = uy + Gu2 @ t1             # U' (y + U'^T t1)
+    coef4 = jnp.zeros((rp, 8), f32).at[:, 0].set(t1).at[:, 1].set(t2)
+
+    pre = pl.pallas_call(
+        _stage4_kernel,
+        grid=(nb,),
+        in_specs=[blk_rn, blk_rn, blk_n, blk_n, rep((rp, 8))],
+        out_specs=blk_n,
+        out_shape=jax.ShapeDtypeStruct((1, np_), f32),
+        interpret=interpret,
+    )(newU, newV, newd, gp, coef4)
 
     if padded:
-        return newU[:r, :n], newV[:r, :n], newd[0, :n]
-    return newU, newV, newd[0]
+        return newU[:r, :n], newV[:r, :n], newd[0, :n], pre[0, :n]
+    return newU, newV, newd[0], pre[0]
 
 
 @functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
@@ -376,3 +473,55 @@ def fused_update_sharded(
     if n_pad != n:
         return newU[:, :n], newV[:, :n], newd[:n]
     return newU, newV, newd
+
+
+@functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
+def fused_update_apply(U, V, d, v, h, g, step, key, tiny: float,
+                       interpret: bool = False):
+    """One LRA update AND the preconditioned gradient P' g of the updated
+    state in the same sweep (the optimizer's with-update branch): stage 3
+    accumulates the apply Gram while the new factors are VMEM-resident,
+    then one map pass — vs FOUR extra factor passes for a separate apply.
+
+    Returns (U', V', d', pre_grad)."""
+    return _update_impl(U, V, d, v, h, step, key, tiny, interpret, g=g)
+
+
+def fused_update_apply_sharded(
+    U, V, d, v, h, g, step, key, tiny: float, mesh, axis: str = "shard",
+    interpret: bool = False,
+):
+    """Mesh-sharded fused update+apply (see fused_update_sharded; the
+    apply Gram joins the psum'd rank-space reductions)."""
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    r, n = U.shape
+    n_pad = _cdiv(n, n_dev) * n_dev
+    if n_pad != n:
+        padm = lambda m: jnp.zeros((r, n_pad), m.dtype).at[:, :n].set(m)
+        padv = lambda x, fill=0.0: jnp.full((n_pad,), fill, x.dtype).at[:n].set(x)
+        U, V = padm(U), padm(V)
+        d = padv(d, fill=1.0)
+        v, h, g = padv(v), padv(h), padv(g)
+
+    def local(U, V, d, v, h, g, step, key):
+        return _update_impl(
+            U, V, d, v, h, step, key, tiny, interpret,
+            psum=functools.partial(jax.lax.psum, axis_name=axis),
+            pmax=functools.partial(jax.lax.pmax, axis_name=axis),
+            g=g,
+        )
+
+    row = P(None, axis)
+    lane = P(axis)
+    newU, newV, newd, pre = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(row, row, lane, lane, lane, lane, P(), P()),
+        out_specs=(row, row, lane, lane),
+        check_vma=False,
+    )(U, V, d, v, h, g, jnp.asarray(step, jnp.float32), key)
+    if n_pad != n:
+        return newU[:, :n], newV[:, :n], newd[:n], pre[:n]
+    return newU, newV, newd, pre

@@ -149,9 +149,9 @@ def _stage2_kernel(l2t_ref, u2_ref, l3_ref, u3_ref, dx_ref, dg_ref,
     )
 
 
-def _stage3_kernel(l2t_ref, u2_ref, l3_ref, u3_ref, dx_ref, dg_ref,
-                   coef_ref, scal_ref,
-                   newl2t_ref, newu2_ref, newl3_ref, newu3_ref):
+def _stage3_body(l2t_ref, u2_ref, l3_ref, u3_ref, dx_ref, dg_ref,
+                 coef_ref, scal_ref):
+    """Shared stage-3 math; returns the updated tail blocks."""
     """coef columns 0-3 as in _tail_images; 4 = sl*L1^T Qg1, 5 = sl*L1^T iQtx1,
     6 = su*U1 Pg1, 7 = su*U1 dx1. scal: [sl, su, 1/rho, rho]."""
     l3, u3 = l3_ref[:], u3_ref[:]
@@ -170,14 +170,64 @@ def _stage3_kernel(l2t_ref, u2_ref, l3_ref, u3_ref, dx_ref, dg_ref,
         return coef_ref[:, j : j + 1]
 
     # (gl2 @ L1)^T and U1 @ gu2 are rank-2: coefficient outers (VPU)
-    newl2t_ref[:] = inv_rho * (
+    newl2t = inv_rho * (
         l2t - (col(4) * qg2 - col(5) * iqtx2) - sl * gl3 * l2t
     )
-    newu2_ref[:] = rho * (
+    newu2 = rho * (
         u2 - (col(6) * dg - col(7) * ipx2) - su * gu3 * u2
     )
-    newl3_ref[:] = inv_rho * (l3 - sl * gl3 * l3)
-    newu3_ref[:] = rho * (u3 - su * gu3 * u3)
+    newl3 = inv_rho * (l3 - sl * gl3 * l3)
+    newu3 = rho * (u3 - su * gu3 * u3)
+    return newl2t, newu2, newl3, newu3
+
+
+def _stage3_kernel(l2t_ref, u2_ref, l3_ref, u3_ref, dx_ref, dg_ref,
+                   coef_ref, scal_ref,
+                   newl2t_ref, newu2_ref, newl3_ref, newu3_ref):
+    newl2t_ref[:], newu2_ref[:], newl3_ref[:], newu3_ref[:] = _stage3_body(
+        l2t_ref, u2_ref, l3_ref, u3_ref, dx_ref, dg_ref, coef_ref, scal_ref
+    )
+
+
+def _stage3_apply_kernel(l2t_ref, u2_ref, l3_ref, u3_ref, dx_ref, dg_ref,
+                         g_ref, coef_ref, scal_ref,
+                         newl2t_ref, newu2_ref, newl3_ref, newu3_ref,
+                         gram2_ref):
+    """Stage 3 + the fused apply's tail reductions on the NEW factors:
+    Z2 = [U2'; L2'^T; l3'u3'g2; g2] -> the Gram carries U2'g2, L2'^T L2'
+    and L2'^T(l3'u3'g2) for P' g of the updated state."""
+    first = pl.program_id(0) == 0
+    newl2t, newu2, newl3, newu3 = _stage3_body(
+        l2t_ref, u2_ref, l3_ref, u3_ref, dx_ref, dg_ref, coef_ref, scal_ref
+    )
+    newl2t_ref[:] = newl2t
+    newu2_ref[:] = newu2
+    newl3_ref[:] = newl3
+    newu3_ref[:] = newu3
+
+    g = g_ref[:]
+    lug = newl3 * newu3 * g
+    rows = jnp.concatenate(
+        [newu2, newl2t, lug, g] + [jnp.zeros_like(g)] * 6, axis=0
+    )
+
+    @pl.when(first)
+    def _():
+        gram2_ref[:] = jnp.zeros_like(gram2_ref)
+
+    gram2_ref[:] += _dotg(rows, rows, ((1,), (1,)))
+
+
+def _stage4_apply_kernel(l2t_ref, u2_ref, l3_ref, u3_ref, g_ref,
+                         coef_ref, out_ref):
+    """Tail of P' g: out2 = U2'^T LtQg1' + u3' l3' Qg2' with
+    Qg2' = L2' Ug1' + l3'u3'g2. coef cols: 0 = Ug1', 1 = LtQg1'."""
+    def proj(col, m):
+        return jnp.sum(coef_ref[:, col : col + 1] * m, axis=0, keepdims=True)
+
+    lu = l3_ref[:] * u3_ref[:]
+    qg2 = proj(0, l2t_ref[:]) + lu * g_ref[:]
+    out_ref[:] = proj(1, u2_ref[:]) + lu * qg2
 
 
 # ------------------------------------------------------------------ wrapper
@@ -188,11 +238,15 @@ def _identity(x):
 
 def _update_impl(L1, U1, dx1, dg1, L2t, U2, l3, u3, dx2, dg2,
                  max_l3, max_u3, step, *, tiny, interpret,
-                 psum=_identity, pmax=_identity):
+                 psum=_identity, pmax=_identity, g1=None, g2=None):
     """Full update given pre-split corner/tail blocks (tail possibly a
     device-local shard; psum/pmax reduce the Gram and maxes across the
     mesh axis). Returns (newL1, newL2t, newU1, newU2, newl3, newu3) with
-    the corner results identical on every device."""
+    the corner results identical on every device.
+
+    With (g1, g2), P' g of the UPDATED state is computed in the same
+    sweep (the apply Gram rides stage 3, one extra tail map pass) and
+    (pre1, pre2) join the outputs."""
     f32 = jnp.float32
     r = U1.shape[0]
     nt = l3.shape[0]
@@ -302,36 +356,83 @@ def _update_impl(L1, U1, dx1, dg1, L2t, U2, l3, u3, dx2, dg2,
         .at[0, 2].set(inv_rho).at[0, 3].set(rho)
     )
 
-    newL2t, newU2, newl3, newu3 = pl.pallas_call(
-        _stage3_kernel,
+    newL1 = inv_rho * (L1 - sl * (gl1 @ L1))
+    newU1 = rho * (U1 - su * (U1 @ gu1))
+
+    if g2 is None:
+        newL2t, newU2, newl3, newu3 = pl.pallas_call(
+            _stage3_kernel,
+            grid=(nb,),
+            in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, blk_n,
+                      rep((rp, 8)), rep((1, 8))],
+            out_specs=(blk_rn, blk_rn, blk_n, blk_n),
+            out_shape=(
+                jax.ShapeDtypeStruct((rp, ntp), f32),
+                jax.ShapeDtypeStruct((rp, ntp), f32),
+                jax.ShapeDtypeStruct((1, ntp), f32),
+                jax.ShapeDtypeStruct((1, ntp), f32),
+            ),
+            interpret=interpret,
+        )(L2tp, U2p, l3p, u3p, dxp, dgp, coef3, scal3)
+        return (
+            newL1, newL2t[:r, :nt], newU1, newU2[:r, :nt],
+            newl3[0, :nt], newu3[0, :nt],
+        )
+
+    gp2 = pad_n(g2)
+    z2dim = 2 * rp + 8
+    newL2t, newU2, newl3, newu3, gram2 = pl.pallas_call(
+        _stage3_apply_kernel,
         grid=(nb,),
-        in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, blk_n,
+        in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, blk_n, blk_n,
                   rep((rp, 8)), rep((1, 8))],
-        out_specs=(blk_rn, blk_rn, blk_n, blk_n),
+        out_specs=(blk_rn, blk_rn, blk_n, blk_n, rep((z2dim, z2dim))),
         out_shape=(
             jax.ShapeDtypeStruct((rp, ntp), f32),
             jax.ShapeDtypeStruct((rp, ntp), f32),
             jax.ShapeDtypeStruct((1, ntp), f32),
             jax.ShapeDtypeStruct((1, ntp), f32),
+            jax.ShapeDtypeStruct((z2dim, z2dim), f32),
         ),
         interpret=interpret,
-    )(L2tp, U2p, l3p, u3p, dxp, dgp, coef3, scal3)
+    )(L2tp, U2p, l3p, u3p, dxp, dgp, gp2, coef3, scal3)
+    gram2 = psum(gram2)
 
-    newL1 = inv_rho * (L1 - sl * (gl1 @ L1))
-    newU1 = rho * (U1 - su * (U1 @ gu1))
+    iu2, il2 = slice(0, r), slice(rp, rp + r)
+    ilug2, ig2 = 2 * rp, 2 * rp + 1
+    # corner apply algebra on the primed factors (ref :506-516)
+    Ug1p = newU1 @ g1 + gram2[iu2, ig2]
+    Qg1p = newL1 @ Ug1p
+    LtQg1p = (
+        newL1.T @ Qg1p + gram2[il2, il2] @ Ug1p + gram2[il2, ilug2]
+    )
+    pre1 = newU1.T @ LtQg1p
+
+    coef5 = jnp.zeros((rp, 8), f32).at[:r, 0].set(Ug1p).at[:r, 1].set(LtQg1p)
+    pre2 = pl.pallas_call(
+        _stage4_apply_kernel,
+        grid=(nb,),
+        in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, rep((rp, 8))],
+        out_specs=blk_n,
+        out_shape=jax.ShapeDtypeStruct((1, ntp), f32),
+        interpret=interpret,
+    )(newL2t, newU2, newl3, newu3, gp2, coef5)
+
     return (
         newL1, newL2t[:r, :nt], newU1, newU2[:r, :nt],
-        newl3[0, :nt], newu3[0, :nt],
+        newl3[0, :nt], newu3[0, :nt], pre1, pre2[0, :nt],
     )
 
 
 def fused_update(Lt, l3, U12, u3, v, h, step, tiny: float,
-                 mesh=None, axis: str = "shard", interpret: bool = False):
+                 mesh=None, axis: str = "shard", interpret: bool = False,
+                 g=None):
     """One splu update matching groups.splu.update semantics exactly.
 
     Lt: (r, n) = L12^T rank-major; U12: (r, n); l3, u3: (n - r,);
-    v, h: (n,). Returns (Lt', l3', U12', u3'). With `mesh`, the tail
-    streams shard over `axis` (corner work replicates)."""
+    v, h: (n,). Returns (Lt', l3', U12', u3') — plus P' g of the updated
+    state as a fifth output when `g` is given (fused apply). With `mesh`,
+    the tail streams shard over `axis` (corner work replicates)."""
     from jax.sharding import PartitionSpec as P
 
     r, n = U12.shape
@@ -339,6 +440,8 @@ def fused_update(Lt, l3, U12, u3, v, h, step, tiny: float,
     L2t, U2 = Lt[:, r:], U12[:, r:]
     dx1, dx2 = v[:r], v[r:]
     dg1, dg2 = h[:r], h[r:]
+    g1 = g[:r] if g is not None else None
+    g2 = g[r:] if g is not None else None
     # tail maxima for the balance outside the kernels: plain XLA reductions
     # partition fine under GSPMD, and the kernels' 1-padding stays inert
     max_l3 = jnp.max(l3)
@@ -349,6 +452,7 @@ def fused_update(Lt, l3, U12, u3, v, h, step, tiny: float,
         out = _update_impl(
             L1, U1, dx1, dg1, L2t, U2, l3, u3, dx2, dg2,
             max_l3, max_u3, step, tiny=tiny, interpret=interpret,
+            g1=g1, g2=g2,
         )
     else:
         n_dev = mesh.shape[axis]
@@ -360,33 +464,60 @@ def fused_update(Lt, l3, U12, u3, v, h, step, tiny: float,
             L2t, U2 = padm(L2t), padm(U2)
             l3p, u3p = padv(l3, 1.0), padv(u3, 1.0)
             dx2, dg2 = padv(dx2, 0.0), padv(dg2, 0.0)
+            g2 = padv(g2, 0.0) if g2 is not None else None
         else:
             l3p, u3p = l3, u3
 
-        local = functools.partial(
-            _update_impl, tiny=tiny, interpret=interpret,
-            psum=functools.partial(jax.lax.psum, axis_name=axis),
-            pmax=functools.partial(jax.lax.pmax, axis_name=axis),
-        )
         row = P(None, axis)
         lane = P(axis)
-        out = jax.shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(P(), P(), P(), P(), row, row, lane, lane, lane, lane,
-                      P(), P(), P()),
-            out_specs=(P(), row, P(), row, lane, lane),
-            check_vma=False,
-        )(L1, U1, dx1, dg1, L2t, U2, l3p, u3p, dx2, dg2, max_l3, max_u3, step)
-        if nt_pad != nt:
-            newL1, newL2t, newU1, newU2, newl3, newu3 = out
-            out = (newL1, newL2t[:, :nt], newU1, newU2[:, :nt],
-                   newl3[:nt], newu3[:nt])
+        psum = functools.partial(jax.lax.psum, axis_name=axis)
+        pmax = functools.partial(jax.lax.pmax, axis_name=axis)
+        if g is None:
+            local = functools.partial(
+                _update_impl, tiny=tiny, interpret=interpret,
+                psum=psum, pmax=pmax,
+            )
+            out = jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(), row, row, lane, lane, lane,
+                          lane, P(), P(), P()),
+                out_specs=(P(), row, P(), row, lane, lane),
+                check_vma=False,
+            )(L1, U1, dx1, dg1, L2t, U2, l3p, u3p, dx2, dg2,
+              max_l3, max_u3, step)
+        else:
+            def local(L1, U1, dx1, dg1, L2t, U2, l3, u3, dx2, dg2,
+                      max_l3, max_u3, step, g1, g2):
+                return _update_impl(
+                    L1, U1, dx1, dg1, L2t, U2, l3, u3, dx2, dg2,
+                    max_l3, max_u3, step, tiny=tiny, interpret=interpret,
+                    psum=psum, pmax=pmax, g1=g1, g2=g2,
+                )
 
-    newL1, newL2t, newU1, newU2, newl3, newu3 = out
-    return (
+            out = jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(), row, row, lane, lane, lane,
+                          lane, P(), P(), P(), P(), lane),
+                out_specs=(P(), row, P(), row, lane, lane, P(), lane),
+                check_vma=False,
+            )(L1, U1, dx1, dg1, L2t, U2, l3p, u3p, dx2, dg2,
+              max_l3, max_u3, step, g1, g2)
+        if nt_pad != nt:
+            out = tuple(
+                x[..., :nt] if i in (1, 3, 4, 5, 7) else x
+                for i, x in enumerate(out)
+            )
+
+    newL1, newL2t, newU1, newU2, newl3, newu3 = out[:6]
+    result = (
         jnp.concatenate([newL1.T, newL2t], axis=1),
         newl3,
         jnp.concatenate([newU1, newU2], axis=1),
         newu3,
     )
+    if g is not None:
+        pre1, pre2 = out[6], out[7]
+        return result + (jnp.concatenate([pre1, pre2]),)
+    return result

@@ -249,18 +249,15 @@ class PSGD:
             # graph compiles once, not twice. set_hyper raises (rather than
             # silently no-ops) if asked to schedule update_probability on
             # such a state.
-            loss, grads, precond = step_with(None)
+            loss, grads, precond, pre_grads = step_with(None)
         else:
             do_update = (
                 jax.random.uniform(k_coin, dtype=self.dtype)
                 < hyper.update_probability
             )
-            loss, grads, precond = jax.lax.cond(
+            loss, grads, precond, pre_grads = jax.lax.cond(
                 do_update, step_with, step_without, None
             )
-
-        with jax.named_scope("psgd_apply"):
-            pre_grads = self._apply(precond, grads, params)
 
         # global-norm clipping (ref :750-754, mnist_with_lenet5.py:54-55)
         sq = sum(
@@ -298,6 +295,12 @@ class PSGD:
         hyper = state.hyper
         flat0, unravel = jax.flatten_util.ravel_pytree(params)
 
+        def precondition(precond, grads):
+            with jax.named_scope("psgd_apply"):
+                g_flat = jax.flatten_util.ravel_pytree(grads)[0]
+                pre = fam.apply(precond, g_flat.astype(self.dtype))
+                return unravel(pre.astype(g_flat.dtype))
+
         def step_with(_):
             # probes in the PARAM dtype (the Hvp runs through the model);
             # cast to the preconditioner dtype only at the family boundary,
@@ -311,17 +314,29 @@ class PSGD:
                     loss, grads, hvs = hvp.finite_diff(loss_fn, params, v, *args)
             h_flat = jax.flatten_util.ravel_pytree(hvs)[0]
             with jax.named_scope("psgd_q_update"):
+                if hasattr(fam, "update_apply"):
+                    # fused Q-update + precondition (one factor sweep,
+                    # e.g. groups/lra.update_apply)
+                    g_flat = jax.flatten_util.ravel_pytree(grads)[0]
+                    precond, pre = fam.update_apply(
+                        state.precond,
+                        v_flat.astype(self.dtype),
+                        h_flat.astype(self.dtype),
+                        g_flat.astype(self.dtype),
+                        step=hyper.lr_preconditioner, key=k_prec,
+                    )
+                    return loss, grads, precond, unravel(pre.astype(g_flat.dtype))
                 precond = fam.update(
                     state.precond,
                     v_flat.astype(self.dtype),
                     h_flat.astype(self.dtype),
                     step=hyper.lr_preconditioner, key=k_prec,
                 )
-            return loss, grads, precond
+            return loss, grads, precond, precondition(precond, grads)
 
         def step_without(_):
             loss, grads = hvp.grad_only(loss_fn, params, *args)
-            return loss, grads, state.precond
+            return loss, grads, state.precond, precondition(state.precond, grads)
 
         return step_with, step_without
 
@@ -330,6 +345,10 @@ class PSGD:
     def _kron_branches(self, loss_fn, params, state, k_probe, k_prec, args):
         hyper = state.hyper
         treedef = jax.tree_util.tree_structure(params)
+
+        def apply_kron(precond, grads):
+            with jax.named_scope("psgd_apply"):
+                return self._apply(precond, grads, params)
 
         def step_with(_):
             v = hvp.random_like(k_probe, params)
@@ -372,11 +391,11 @@ class PSGD:
                         )
                         for ks, vl, hl in zip(pc, v_leaves, h_leaves)
                     ]
-            return loss, grads, precond
+            return loss, grads, precond, apply_kron(precond, grads)
 
         def step_without(_):
             loss, grads = hvp.grad_only(loss_fn, params, *args)
-            return loss, grads, state.precond
+            return loss, grads, state.precond, apply_kron(state.precond, grads)
 
         return step_with, step_without
 

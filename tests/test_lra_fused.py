@@ -62,3 +62,40 @@ def test_fused_covers_both_uv_branches():
             scale = float(jnp.max(jnp.abs(want)))
             np.testing.assert_allclose(np.asarray(g), np.asarray(want), rtol=0, atol=3e-5 * scale)
     assert hit == {True, False}
+
+
+@pytest.mark.parametrize("n,r", [(64, 4), (100, 5), (257, 3)])
+def test_fused_update_apply_matches_sequence(n, r):
+    """The fused update+apply (apply Gram rides stage 3, one map pass)
+    must equal update() followed by apply() of the updated state."""
+    key = jax.random.PRNGKey(2)
+    st = lra.init(key, n, rank=r)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+    h = jax.random.normal(jax.random.fold_in(key, 2), (n,))
+    g = jax.random.normal(jax.random.fold_in(key, 3), (n,))
+    k_up = jax.random.fold_in(key, 4)
+    st2 = lra.update(st, v, h, step=0.05, key=k_up)  # XLA path on CPU
+    pre_ref = lra.apply(st2, g)
+    got = lra_upd.fused_update_apply(
+        st.U, st.V, st.d, v, h, g, 0.05, k_up, TINY, interpret=True
+    )
+    for a, b in zip(got, (st2.U, st2.V, st2.d, pre_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+
+
+def test_group_update_apply_xla_fallback_equals_sequence():
+    """groups.lra.update_apply on CPU (no kernels) is exactly the two-call
+    sequence."""
+    key = jax.random.PRNGKey(5)
+    n, r = 48, 4
+    st = lra.init(key, n, rank=r)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+    h = jax.random.normal(jax.random.fold_in(key, 2), (n,))
+    g = jax.random.normal(jax.random.fold_in(key, 3), (n,))
+    k_up = jax.random.fold_in(key, 4)
+    st_a, pre_a = lra.update_apply(st, v, h, g, step=0.05, key=k_up)
+    st_b = lra.update(st, v, h, step=0.05, key=k_up)
+    pre_b = lra.apply(st_b, g)
+    for a, b in zip(jax.tree_util.tree_leaves((st_a, pre_a)),
+                    jax.tree_util.tree_leaves((st_b, pre_b))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

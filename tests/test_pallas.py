@@ -204,3 +204,26 @@ def test_gridded_dense_matches_xla_path(n):
     # triangularity survives the staged update
     got = np.asarray(got)
     np.testing.assert_allclose(got, np.triu(got), atol=1e-7)
+
+
+@pytest.mark.parametrize("n,r", [(64, 6), (130, 4)])
+def test_fused_splu_update_apply_matches_sequence(n, r):
+    """splu fused update+apply (apply Gram rides stage 3, one map pass)
+    equals update() followed by apply() of the updated state."""
+    from psgd_tf_tpu.groups import splu
+    from psgd_tf_tpu.ops.pallas import splu_upd
+
+    st = _splu_perturbed(n, r, seed=4)
+    key = jax.random.PRNGKey(8)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+    h = jax.random.normal(jax.random.fold_in(key, 2), (n,))
+    g = jax.random.normal(jax.random.fold_in(key, 3), (n,))
+    st2 = splu.update(st, v, h, step=0.05)  # XLA on CPU
+    pre_ref = splu.apply(st2, g)
+    got = splu_upd.fused_update(
+        st.Lt, st.l3, st.U12, st.u3, v, h, 0.05, TINY, interpret=True, g=g
+    )
+    for a, b in zip(got, (st2.Lt, st2.l3, st2.U12, st2.u3, pre_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        )

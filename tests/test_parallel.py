@@ -136,13 +136,14 @@ def test_sharding_ctx_routes_lra_to_sharded_kernel(mesh, monkeypatch):
     from psgd_tf_tpu.ops.pallas import lra_upd
 
     calls = []
-    orig = lra_upd.fused_update_sharded
+    orig = lra_upd.fused_update_apply_sharded
 
     def spy(*args, **kw):
         calls.append(kw.get("mesh"))
         return orig(*args, **kw)
 
-    monkeypatch.setattr(lra_upd, "fused_update_sharded", spy)
+    # the optimizer's with-update branch takes the fused update+apply path
+    monkeypatch.setattr(lra_upd, "fused_update_apply_sharded", spy)
 
     key = jax.random.PRNGKey(0)
     params = {"w": jax.random.normal(key, (40,))}
