@@ -88,36 +88,42 @@ def test_P_is_spd(name):
     assert eigs.min() > 0, f"{name}: P not PD, min eig {eigs.min()}"
 
 
-BF16_FAMILIES = {
-    "dense": lambda: dense.init(N, 0.7, dtype=jnp.bfloat16),
-    "diag": lambda: diag.init(N, 0.7, dtype=jnp.bfloat16),
-    "xmat": lambda: xmat.init(N, 0.7, dtype=jnp.bfloat16),
-    "splu": lambda: splu.init(N, rank=6, init_scale=0.7, dtype=jnp.bfloat16),
-    "lra": lambda: lra.init(
-        jax.random.PRNGKey(7), N, rank=4, init_scale=0.7, dtype=jnp.bfloat16
-    ),
-}
+def _half_families(dtype):
+    return {
+        "dense": lambda: dense.init(N, 0.7, dtype=dtype),
+        "diag": lambda: diag.init(N, 0.7, dtype=dtype),
+        "xmat": lambda: xmat.init(N, 0.7, dtype=dtype),
+        "splu": lambda: splu.init(N, rank=6, init_scale=0.7, dtype=dtype),
+        "lra": lambda: lra.init(
+            jax.random.PRNGKey(7), N, rank=4, init_scale=0.7, dtype=dtype
+        ),
+    }
 
 
+BF16_FAMILIES = _half_families(jnp.bfloat16)
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float16], ids=str)
 @pytest.mark.parametrize("name", sorted(BF16_FAMILIES))
-def test_bf16_update_decreases_criterion(name):
-    """Half-precision states (ref Note 3, :657-658): solves run in fp32
-    internally, statistical work stays bf16; trajectories must still fit."""
+def test_half_precision_update_decreases_criterion(name, dtype):
+    """Half-precision states (ref Note 3, :657-658, which names fp16
+    specifically): solves run in fp32 internally, statistical work stays
+    in the half dtype; trajectories must still fit."""
     mod = _module(name)
-    state = BF16_FAMILIES[name]()
+    state = _half_families(dtype)[name]()
     v, h = _vh(jax.random.PRNGKey(11))
-    v16, h16 = v.astype(jnp.bfloat16), h.astype(jnp.bfloat16)
+    v16, h16 = v.astype(dtype), h.astype(dtype)
     c0 = criterion(mod.materialize(state).astype(jnp.float32), v, h)
     for i in range(20):
         state = mod.update(state, v16, h16, step=0.1, key=jax.random.PRNGKey(100 + i))
     # dtype must be preserved end to end (no silent fp32 promotion)
     for leaf in jax.tree_util.tree_leaves(state):
-        assert leaf.dtype == jnp.bfloat16, (name, leaf.dtype)
+        assert leaf.dtype == dtype, (name, leaf.dtype)
     c1 = criterion(mod.materialize(state).astype(jnp.float32), v, h)
     assert np.isfinite(c1) and c1 < c0, f"{name}: criterion {c0} -> {c1}"
-    g = jax.random.normal(jax.random.PRNGKey(5), (N,), jnp.bfloat16)
+    g = jax.random.normal(jax.random.PRNGKey(5), (N,), dtype)
     pre = mod.apply(state, g)
-    assert pre.dtype == jnp.bfloat16
+    assert pre.dtype == dtype
     assert bool(jnp.all(jnp.isfinite(pre.astype(jnp.float32))))
 
 
