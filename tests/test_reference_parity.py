@@ -178,3 +178,79 @@ def test_uvd_trajectory_matches_reference_tf(monkeypatch):
     ours = lra.apply(state, jnp.asarray(g))
     theirs = ref.precond_grad_UVd_math(U_tf, V_tf, d_tf, tf.constant(g[:, None]))
     assert _rel_err(ours, theirs.numpy()[:, 0]) < 2e-3
+
+
+def test_uvd_class_end_to_end_matches_reference_tf(monkeypatch):
+    """FULL-STACK parity: the reference's class UVd (closure, the
+    reverse-over-reverse double-tape Hvp, flatten/unflatten, lr plumbing,
+    ref :692-764) against our functional PSGD with exact Hvp, on an
+    identical quadratic with identical probes/coins (scripted)."""
+    import psgd_tf_tpu as psgd
+    from functools import partial
+
+    n, r = 12, 4
+    rng = np.random.default_rng(13)
+    A_np = (rng.standard_normal((n, n)) / n**0.5).astype(np.float32)
+    A_np = A_np @ A_np.T + 0.5 * np.eye(n, dtype=np.float32)
+    b_np = rng.standard_normal(n).astype(np.float32)
+    x0 = rng.standard_normal(n).astype(np.float32)
+
+    # ---- ours: functional PSGD, exact Hvp, always-update
+    opt = psgd.PSGD(preconditioner="lra", rank=r, lr_params=0.1,
+                    lr_preconditioner=0.1)
+    params = {"x": jnp.asarray(x0)}
+    state = opt.init(params, jax.random.PRNGKey(0))
+
+    def loss_fn(p):
+        return 0.5 * p["x"] @ (jnp.asarray(A_np) @ p["x"]) - jnp.asarray(b_np) @ p["x"]
+
+    step = jax.jit(partial(opt.step, loss_fn))
+
+    # ---- theirs: class UVd with state forced to our init and RNG scripted
+    x_tf = tf.Variable(tf.constant(x0))
+    theirs = ref.UVd([x_tf], rank_of_modification=r,
+                     lr_params=0.1, lr_preconditioner=0.1)
+    theirs._U.assign(tf.constant(np.asarray(state.precond.U.T)))
+    theirs._V.assign(tf.constant(np.asarray(state.precond.V.T)))
+    theirs._d.assign(tf.constant(np.asarray(state.precond.d)[:, None]))
+    A_tf, b_tf = tf.constant(A_np), tf.constant(b_np)
+
+    def closure():
+        return 0.5 * tf.tensordot(x_tf, tf.linalg.matvec(A_tf, x_tf), 1) - tf.tensordot(b_tf, x_tf, 1)
+
+    scripted_u, scripted_n = [], []
+    orig_uniform, orig_normal = tf.random.uniform, tf.random.normal
+
+    def fake_uniform(shape, *a, **k):
+        if len(scripted_u) and tuple(shape) == ():
+            return tf.constant(scripted_u.pop(0), tf.float32)
+        return orig_uniform(shape, *a, **k)
+
+    def fake_normal(shape, *a, **k):
+        if len(scripted_n) and tuple(shape) == (n,):
+            return tf.constant(scripted_n.pop(0))
+        return orig_normal(shape, *a, **k)
+
+    monkeypatch.setattr(tf.random, "uniform", fake_uniform)
+    monkeypatch.setattr(tf.random, "normal", fake_normal)
+
+    key = jax.random.PRNGKey(42)
+    for _ in range(20):
+        key, sub = jax.random.split(key)
+        # replicate OUR step's key splits (optim/psgd.py + groups/lra.py)
+        k_coin, k_probe, k_prec = jax.random.split(sub, 3)
+        k_bal, k_uv = jax.random.split(k_prec)
+        v = np.asarray(jax.random.normal(k_probe, (n,), jnp.float32))
+        balance = bool(jax.random.uniform(k_bal, dtype=jnp.float32) < 0.01)
+        update_u = bool(jax.random.uniform(k_uv, dtype=jnp.float32) < 0.5)
+        # ref draw order: update coin (:703), probe (:713), balance, U-vs-V
+        scripted_u.extend([0.0, 0.0 if balance else 0.5, 0.3 if update_u else 0.7])
+        scripted_n.append(v)
+
+        params, state, aux = step(params, state, sub)
+        theirs.step(closure)
+        assert not scripted_u and not scripted_n  # all draws consumed
+
+    assert _rel_err(params["x"], x_tf.numpy()) < 2e-3
+    assert _rel_err(state.precond.U.T, theirs._U.numpy()) < 2e-3
+    assert _rel_err(state.precond.d, theirs._d.numpy()[:, 0]) < 2e-3
