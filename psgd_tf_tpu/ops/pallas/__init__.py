@@ -1,16 +1,22 @@
 """Pallas TPU fast paths for the hot structured linear algebra.
 
-Three kernels (each with the XLA path as fallback and oracle):
+Kernel inventory (each with the XLA path as fallback and oracle):
 
   - tri.solve_triangular: blocked triangular solve — the op TPUs lack
     natively (SURVEY.md §7 hard part #1). Diagonal blocks invert exactly
     via Newton iteration (finite termination on triangular matrices),
     off-diagonal substitution is MXU matmuls.
-  - kron_dd.fused_update: the whole (dense, dense) Kronecker update —
-    balancing, A, the two triangular solves for Bt, both group gradients,
-    max-abs step normalization, and the Q updates — in ONE kernel launch,
-    keeping both factors in VMEM end to end.
-  - dense_upd.fused_update: the dense family's rank-2 update in one kernel.
+  - kron_dd: the whole (dense, dense) Kronecker update in ONE launch
+    (single layer, and a gridded batched variant for same-padded-size
+    layer-zoo buckets), factors VMEM-resident to side 1024.
+  - kron_sparse: one-launch updates for the (norm, scale)/(dense, scale)/
+    (norm, dense) arrow/diag format pairs (mirrors transpose in).
+  - dense_upd: the dense family's rank-2 update in one launch (n <= 1536);
+    dense_big: the gridded HBM-streaming variant to n = 16384.
+  - lra_upd / splu_upd: three-pass streaming updates with ONE packed
+    rank-space Gram per family; lra additionally fuses the apply
+    (fused_update_apply) and both have mesh-sharded shard_map variants
+    with psum'd reductions.
 
 Dispatch policy: `enabled()` is True on TPU backends (overridable via
 PSGD_TF_TPU_PALLAS=0/1); family code additionally gates on shape caps

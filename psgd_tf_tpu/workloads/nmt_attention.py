@@ -29,7 +29,12 @@ def run(
     exact_hvp: bool = False,
     cfg: nmt.Config = nmt.Config(),
     lr: float = 0.05,
+    mesh=None,
 ) -> dict:
+    """`mesh` (a jax.sharding.Mesh with (data, shard) axes, e.g. from
+    parallel.make_mesh) runs the whole training step sharded: the batch
+    over `data`, preconditioner state per the family policy, fused
+    kernels via shard_map."""
     key = jax.random.PRNGKey(seed)
     k_init, k_opt, key = jax.random.split(key, 3)
     params = nmt.init(k_init, cfg)
@@ -42,7 +47,12 @@ def run(
         exact_hessian_vector_product=exact_hvp,
     )
     state = opt.init(params, k_opt)
-    step = jax.jit(partial(opt.step, nmt.loss))
+    if mesh is not None:
+        from psgd_tf_tpu.parallel import build_sharded_step
+
+        step = build_sharded_step(opt, nmt.loss, mesh, state, params, donate=False)
+    else:
+        step = jax.jit(partial(opt.step, nmt.loss))
     token_acc = jax.jit(nmt.token_accuracy)
 
     first = None

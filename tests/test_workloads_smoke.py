@@ -49,3 +49,14 @@ def test_nmt_attention_smoke():
     r = nmt_attention.run(steps=3, batch_size=4, max_len=6, cfg=cfg)
     assert 0.0 <= r["token_accuracy"] <= 1.0
     assert r["success"] is False  # 3 steps cannot hit the 0.75 bar
+
+
+def test_nmt_attention_sharded_smoke():
+    """The workload's mesh path runs the full sharded step (fused kernels
+    via shard_map) end to end."""
+    from psgd_tf_tpu.parallel import make_mesh
+
+    cfg = nmt.Config(vocab_src=16, vocab_tgt=16, embed=8, units=12, attn=4)
+    mesh = make_mesh(data=4, shard=2)
+    r = nmt_attention.run(steps=2, batch_size=8, max_len=6, cfg=cfg, mesh=mesh)
+    assert jnp.isfinite(r["loss"])
