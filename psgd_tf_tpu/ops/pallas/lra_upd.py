@@ -14,8 +14,9 @@ step sizes), which force exactly three streaming passes:
       reductions as scalars (cu*cv = 1, so G is balance-invariant);
       Woodbury solves on the r x r system give every stage-2/3
       coefficient. No (r, n) data is touched.
-  stage 2 (map+reduce): one pass -> Qh, invQtv, nablaD vectors and the
-      global max|nablaD|.
+  stage 2 (map+reduce): one pass -> the global max|nablaD| (the probe
+      images are recomputed in stage 3 from the same coefficients instead
+      of round-tripping 3 n-vectors through HBM).
   stage 3 (update): one pass -> U', V', d' via rank-vector outer products;
       the U-vs-V coin arrives as zeroed coefficients (branch-free masked
       update, SURVEY.md §7 hard part #3), the balance as the cu/cv scale.
@@ -86,29 +87,35 @@ def _stage1_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref,
 
 # ------------------------------------------------------------------ stage 2
 
-def _stage2_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref, coef_ref,
-                   qh_ref, b_ref, nd_ref, ndmax_ref):
-    first = pl.program_id(0) == 0
-    u, v = u_ref[:], v_ref[:]
-    d = d_ref[:]
-    x = d * h_ref[:]
-    w = vv_ref[:] / d
+def _probe_images(u, v, d, h, vv, coef):
+    """Recompute (qh, b, nd) from the stage-1 rank-space coefficients.
 
-    def proj(col, m):  # coef column (rp, 1) applied to (rp, B) -> (1, B)
-        # VPU broadcast-multiply + sublane reduce; an MXU dot here would
-        # K-stream 64 output tiles per projection and dominate the kernel
-        return jnp.sum(coef_ref[:, col : col + 1] * m, axis=0, keepdims=True)
+    coef cols: 0 = t0 (Qh), 1 = cv*a1 (invQtv), 2 = cv*s2 (Ph), 3 = cu*a2.
+    Projections are VPU broadcast-multiply + sublane reduce; an MXU dot
+    here would K-stream 64 output tiles per projection and dominate the
+    kernel. Shared by stage 2 (max reduction) and stage 3 (update), which
+    RECOMPUTES instead of round-tripping 3 n-vectors through HBM — the
+    inputs are re-streamed either way, so recomputation is free traffic.
+    """
+    x = d * h
+    w = vv / d
 
-    # coef cols: 0 = t0 (Qh), 1 = cv*a1 (invQtv), 2 = cv*s2 (Ph), 3 = cu*a2
+    def proj(col, m):
+        return jnp.sum(coef[:, col : col + 1] * m, axis=0, keepdims=True)
+
     qh = x + proj(0, u)
     b = w - proj(1, v)
     ph = d * (qh + proj(2, v))
     ipv = (b - proj(3, u)) / d
-    nd = ph * h_ref[:] - vv_ref[:] * ipv
+    nd = ph * h - vv * ipv
+    return qh, b, nd
 
-    qh_ref[:] = qh
-    b_ref[:] = b
-    nd_ref[:] = nd
+
+def _stage2_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref, coef_ref, ndmax_ref):
+    first = pl.program_id(0) == 0
+    _, _, nd = _probe_images(
+        u_ref[:], v_ref[:], d_ref[:], h_ref[:], vv_ref[:], coef_ref
+    )
 
     @pl.when(first)
     def _():
@@ -119,10 +126,12 @@ def _stage2_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref, coef_ref,
 
 # ------------------------------------------------------------------ stage 3
 
-def _stage3_kernel(u_ref, v_ref, d_ref, qh_ref, b_ref, nd_ref,
-                   coef_ref, scal_ref, newu_ref, newv_ref, newd_ref):
-    a = qh_ref[:]                       # (1, B)
-    b = b_ref[:]
+def _stage3_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref,
+                   coef2_ref, coef_ref, scal_ref,
+                   newu_ref, newv_ref, newd_ref):
+    a, b, nd = _probe_images(
+        u_ref[:], v_ref[:], d_ref[:], h_ref[:], vv_ref[:], coef2_ref
+    )
     cu = scal_ref[0, 0]
     cv = scal_ref[0, 1]
     mu_d = scal_ref[0, 2]
@@ -144,7 +153,7 @@ def _stage3_kernel(u_ref, v_ref, d_ref, qh_ref, b_ref, nd_ref,
 
     newu_ref[:] = cu * u_ref[:] - (outer(col(0), a) - outer(col(1), b))
     newv_ref[:] = cv * v_ref[:] - (outer(col(2), av) - outer(col(3), bv))
-    newd_ref[:] = d_ref[:] - mu_d * d_ref[:] * nd_ref[:]
+    newd_ref[:] = d_ref[:] - mu_d * d_ref[:] * nd
 
 
 # -------------------------------------------------- stages 3+4 with apply
@@ -155,12 +164,13 @@ def _stage3_kernel(u_ref, v_ref, d_ref, qh_ref, b_ref, nd_ref,
 # are already in VMEM) leaves ONE map pass: with y = d'g,
 #   t1 = V'y, t2 = U'y + (U'U'^T) t1, out = d'(y + t1 U' + t2 V').
 
-def _stage3_apply_kernel(u_ref, v_ref, d_ref, g_ref, qh_ref, b_ref, nd_ref,
-                         coef_ref, scal_ref,
+def _stage3_apply_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref, g_ref,
+                         coef2_ref, coef_ref, scal_ref,
                          newu_ref, newv_ref, newd_ref, gram2_ref):
     first = pl.program_id(0) == 0
-    a = qh_ref[:]
-    b = b_ref[:]
+    a, b, nd = _probe_images(
+        u_ref[:], v_ref[:], d_ref[:], h_ref[:], vv_ref[:], coef2_ref
+    )
     cu = scal_ref[0, 0]
     cv = scal_ref[0, 1]
     mu_d = scal_ref[0, 2]
@@ -173,7 +183,7 @@ def _stage3_apply_kernel(u_ref, v_ref, d_ref, g_ref, qh_ref, b_ref, nd_ref,
 
     newu = cu * u_ref[:] - (col(0) * a - col(1) * b)
     newv = cv * v_ref[:] - (col(2) * av - col(3) * bv)
-    newd = d_ref[:] - mu_d * d_ref[:] * nd_ref[:]
+    newd = d_ref[:] - mu_d * d_ref[:] * nd
     newu_ref[:] = newu
     newv_ref[:] = newv
     newd_ref[:] = newd
@@ -298,17 +308,12 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
     coef2 = jnp.stack([t0, cv * a1, cv * s2, cu * a2], axis=1)  # (rp, 4)
     coef2 = jnp.concatenate([coef2, jnp.zeros((rp, 4), f32)], axis=1)
 
-    qh_vec, b_vec, nd_vec, ndmax = pl.pallas_call(
+    ndmax = pl.pallas_call(
         _stage2_kernel,
         grid=(nb,),
         in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, rep((rp, 8))],
-        out_specs=(blk_n, blk_n, blk_n, rep((1, 8))),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, np_), f32),
-            jax.ShapeDtypeStruct((1, np_), f32),
-            jax.ShapeDtypeStruct((1, np_), f32),
-            jax.ShapeDtypeStruct((1, 8), f32),
-        ),
+        out_specs=rep((1, 8)),
+        out_shape=jax.ShapeDtypeStruct((1, 8), f32),
         interpret=interpret,
     )(Up, Vp, dp, hp, vp, coef2)
 
@@ -363,8 +368,8 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
         newU, newV, newd = pl.pallas_call(
             _stage3_kernel,
             grid=(nb,),
-            in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, blk_n,
-                      rep((rp, 8)), rep((1, 8))],
+            in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n,
+                      rep((rp, 8)), rep((rp, 8)), rep((1, 8))],
             out_specs=(blk_rn, blk_rn, blk_n),
             out_shape=(
                 jax.ShapeDtypeStruct((rp, np_), f32),
@@ -372,7 +377,7 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
                 jax.ShapeDtypeStruct((1, np_), f32),
             ),
             interpret=interpret,
-        )(Up, Vp, dp, qh_vec, b_vec, nd_vec, coef3, scal3)
+        )(Up, Vp, dp, hp, vp, coef2, coef3, scal3)
 
         if padded:
             return newU[:r, :n], newV[:r, :n], newd[0, :n]
@@ -383,8 +388,8 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
     newU, newV, newd, gram2 = pl.pallas_call(
         _stage3_apply_kernel,
         grid=(nb,),
-        in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, blk_n, blk_n,
-                  rep((rp, 8)), rep((1, 8))],
+        in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, blk_n,
+                  rep((rp, 8)), rep((rp, 8)), rep((1, 8))],
         out_specs=(blk_rn, blk_rn, blk_n, rep((z2dim, z2dim))),
         out_shape=(
             jax.ShapeDtypeStruct((rp, np_), f32),
@@ -393,7 +398,7 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
             jax.ShapeDtypeStruct((z2dim, z2dim), f32),
         ),
         interpret=interpret,
-    )(Up, Vp, dp, gp, qh_vec, b_vec, nd_vec, coef3, scal3)
+    )(Up, Vp, dp, hp, vp, gp, coef2, coef3, scal3)
     gram2 = psum(gram2)
 
     iu2, iv2, iy2 = slice(0, rp), slice(rp, 2 * rp), 2 * rp
