@@ -7,8 +7,8 @@ paths for the hot structured linear algebra, and mesh sharding for the
 preconditioner state.
 
 Public surface:
-  - groups.{dense,diag,xmat,splu,kron,lra}: preconditioner families with a
-    uniform init/update/apply contract.
+  - groups.{dense,diag,xmat,shift,splu,kron,lra}: preconditioner families
+    with a uniform init/update/apply contract.
   - hvp: exact (forward-over-reverse) and finite-difference Hessian-vector
     products.
   - optim.PSGD: one optimizer over every family, with the reference's full
@@ -16,7 +16,7 @@ Public surface:
   - parallel: mesh/sharding policies for multi-chip state partitioning.
 """
 from psgd_tf_tpu import hvp, utils
-from psgd_tf_tpu.groups import dense, diag, kron, lra, splu, xmat
+from psgd_tf_tpu.groups import dense, diag, kron, lra, shift, splu, xmat
 from psgd_tf_tpu.optim.psgd import PSGD, PSGDState, Hyper
 from psgd_tf_tpu.optim.uvd import UVd
 
@@ -33,6 +33,7 @@ __all__ = [
     "diag",
     "kron",
     "lra",
+    "shift",
     "splu",
     "xmat",
 ]

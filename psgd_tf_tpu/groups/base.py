@@ -13,8 +13,8 @@ uniform, jit/shard-friendly contract. `v` is the random probe, `h` the
 Hessian-vector product H v (or a gradient perturbation; the update criterion
 is jointly scale-invariant in (v, h)).
 
-Whole-model families (dense, diag, xmat, splu, lra) consume *flat* (n,)
-vectors; the kron family consumes per-tensor matrices.
+Whole-model families (dense, diag, xmat, shift, splu, lra) consume *flat*
+(n,) vectors; the kron family consumes per-tensor matrices.
 """
 from __future__ import annotations
 

@@ -48,7 +48,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from psgd_tf_tpu.ops import linalg
+from psgd_tf_tpu.groups import _pairs
 
 
 @flax.struct.dataclass
@@ -100,10 +100,9 @@ def init(n: int, init_scale: float = 1.0, dtype=jnp.float32) -> XMatState:
 def matvec(state: XMatState, x: jax.Array) -> jax.Array:
     """Q x = a*x + b*flip(x)."""
     m, odd = state.af.shape[1], state.odd
-    (a0, a1), (b0, b1) = state.af, state.bf
-    (x0, x1), xc = _fold(x, m, odd)
-    tf = jnp.stack([a0 * x0 + b0 * x1, a1 * x1 + b1 * x0])
-    return _unfold(tf, (state.ac * xc)[None] if odd else None)
+    xf, xc = _fold(x, m, odd)
+    yf, yc = _pairs.matvec(state.af, state.bf, state.ac, xf, xc, odd)
+    return _unfold(yf, yc[None] if odd else None)
 
 
 def update(
@@ -113,61 +112,24 @@ def update(
     step: jax.Array | float = 0.01,
     key: jax.Array | None = None,
 ) -> XMatState:
+    # all math on (m,) row pairs (groups/_pairs.py): "flip" = use the
+    # other row, no reversals
     del key
-    af, bf, ac = state.af, state.bf, state.ac
-    m, odd = af.shape[1], state.odd
-    dtype = af.dtype
-
-    # all math on (m,) row pairs: "flip" = use the other row, no reversals
-    a0, a1 = af[0], af[1]
-    b0, b1 = bf[0], bf[1]
-    (h0, h1), hc = _fold(h, m, odd)
-    (v0, v1), vc = _fold(v, m, odd)
-
-    u0 = a0 * h0 + b0 * h1                            # Q h
-    u1 = a1 * h1 + b1 * h0
-    det = a0 * a1 - b0 * b1                           # (m,) pair determinant
-    w0 = (a1 * v0 - b1 * v1) / det                    # Q^{-T} v
-    w1 = (a0 * v1 - b0 * v0) / det
-
-    p0 = u0 * u0 - w0 * w0                            # diag gradient
-    p1 = u1 * u1 - w1 * w1
-    qv = u0 * u1 - w0 * w1                            # anti gradient (symmetric)
-
-    max_p = jnp.maximum(
-        jnp.max(jnp.abs(p0), initial=0.0), jnp.max(jnp.abs(p1), initial=0.0)
+    m, odd = state.af.shape[1], state.odd
+    hf, hc = _fold(h, m, odd)
+    vf, vc = _fold(v, m, odd)
+    new_af, new_bf, new_ac = _pairs.update(
+        state.af, state.bf, state.ac, vf, hf, vc, hc, step, odd
     )
-    max_q = jnp.max(jnp.abs(qv), initial=0.0)
-    if odd:
-        uc = ac * hc
-        wc = vc / ac
-        pc = uc * uc - wc * wc
-        max_p = jnp.maximum(max_p, jnp.abs(pc))
-    step0 = linalg.step_scale(step, jnp.maximum(max_p, max_q), dtype)
-
-    new_af = jnp.stack([
-        a0 - step0 * (p0 * a0 + qv * b1),
-        a1 - step0 * (p1 * a1 + qv * b0),
-    ])
-    new_bf = jnp.stack([
-        b0 - step0 * (p0 * b0 + qv * a1),
-        b1 - step0 * (p1 * b1 + qv * a0),
-    ])
-    new_ac = ac - step0 * pc * ac if odd else ac
     return XMatState(af=new_af, bf=new_bf, ac=new_ac, odd=odd)
 
 
 def apply(state: XMatState, g: jax.Array) -> jax.Array:
     """P g = Q^T (Q g)."""
-    af, bf, ac = state.af, state.bf, state.ac
-    m, odd = af.shape[1], state.odd
-    a0, a1 = af[0], af[1]
-    b0, b1 = bf[0], bf[1]
-    (g0, g1), gc = _fold(g, m, odd)
-    t0 = a0 * g0 + b0 * g1                            # Q g
-    t1 = a1 * g1 + b1 * g0
-    of = jnp.stack([a0 * t0 + b1 * t1, a1 * t1 + b0 * t0])  # Q^T (Q g)
-    return _unfold(of, (ac * ac * gc)[None] if odd else None)
+    m, odd = state.af.shape[1], state.odd
+    gf, gc = _fold(g, m, odd)
+    of, oc = _pairs.apply(state.af, state.bf, state.ac, gf, gc, odd)
+    return _unfold(of, oc[None] if odd else None)
 
 
 def materialize(state: XMatState) -> jax.Array:

@@ -19,9 +19,9 @@ ref :660-661, rnn_xor_UVd_preconditioner.py:62-69) — use `opt.set_hyper`.
 `exact_hessian_vector_product` changes the autodiff graph, so it is static;
 flipping it triggers one recompile (both variants stay cached).
 
-Families: 'dense', 'diag', 'xmat', 'splu', 'lra' operate on the flattened
-parameter vector; 'kron' keeps one (Ql, Qr) pair per parameter tensor with
-static per-tensor formats.
+Families: 'dense', 'diag', 'xmat', 'shift', 'splu', 'lra' operate on the
+flattened parameter vector; 'kron' keeps one (Ql, Qr) pair per parameter
+tensor with static per-tensor formats.
 """
 from __future__ import annotations
 
@@ -91,7 +91,9 @@ class KronPrecond:
 
 @dataclasses.dataclass(frozen=True)
 class PSGD:
-    preconditioner: Literal["dense", "diag", "xmat", "splu", "lra", "kron"] = "lra"
+    preconditioner: Literal[
+        "dense", "diag", "xmat", "shift", "splu", "lra", "kron"
+    ] = "lra"
     rank: int = 10                      # splu corner / lra rank (ref :663)
     init_scale: float = 1.0             # initial Q scale (ref :637)
     lr_params: float = 0.01

@@ -13,6 +13,8 @@ owns is block-partitioning the preconditioner state itself:
            layout (groups/xmat.py) co-locates each coupled (i, n-1-i) pair,
            so the update itself needs NO cross-device exchange; only the
            probe fold/unfold at the boundary reverses data once.
+  shift  : same folded pair-axis sharding as xmat (orbits {i, i+m}
+           co-located; the fold is a pure reshape, groups/shift.py).
   splu   : rank-major Lt/U12 columns (the parameter axis) and the diagonal
            tails over `shard`; the r x r corner solves replicate
            (all_gather of r-vectors).
@@ -32,7 +34,7 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from psgd_tf_tpu.groups import dense, diag, lra, splu, xmat
+from psgd_tf_tpu.groups import dense, diag, lra, shift, splu, xmat
 from psgd_tf_tpu.optim.psgd import KronPrecond, PSGDState
 
 
@@ -61,6 +63,13 @@ def precond_sharding(mesh: Mesh, precond: Any) -> Any:
         return diag.DiagState(q=row)
     if isinstance(precond, xmat.XMatState):
         return xmat.XMatState(
+            af=colmat, bf=colmat, ac=rep, odd=precond.odd
+        )
+    if isinstance(precond, shift.ShiftState):
+        # same folded co-location argument as xmat: each {i, i+m} orbit is
+        # a column of the (2, m) state, so pair-axis sharding needs no
+        # cross-device exchange
+        return shift.ShiftState(
             af=colmat, bf=colmat, ac=rep, odd=precond.odd
         )
     if isinstance(precond, splu.SpLUState):

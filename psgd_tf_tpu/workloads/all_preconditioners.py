@@ -5,7 +5,8 @@ rank-5 CP decomposition of a random 10x20x50 tensor with L1 penalty, 100
 iterations, step 0.1 for both lrs. The reference offers dense / sparse-LU /
 kron selected by editing a string (ref :22-24); here the family is an
 argument and the suite additionally runs the families the reference only
-documents (diag, xmat, lra — README.md:13-15).
+documents (diag, xmat, lra — README.md:13-15) plus the butterfly/shift
+family no release implements (README.md:15, groups/shift.py).
 """
 from __future__ import annotations
 
@@ -16,7 +17,7 @@ import jax
 from psgd_tf_tpu import PSGD
 from psgd_tf_tpu.models import tensor_decomp
 
-FAMILIES = ("dense", "diag", "xmat", "splu", "lra", "kron")
+FAMILIES = ("dense", "diag", "xmat", "shift", "splu", "lra", "kron")
 
 
 def run(

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from psgd_tf_tpu.groups import dense, diag, kron, lra, splu, xmat
+from psgd_tf_tpu.groups import dense, diag, kron, lra, shift, splu, xmat
 
 N = 24
 
@@ -35,6 +35,8 @@ FLAT_FAMILIES = {
     "diag": lambda: diag.init(N, 0.7),
     "xmat": lambda: xmat.init(N, 0.7),
     "xmat_odd": lambda: xmat.init(N + 1, 0.7),
+    "shift": lambda: shift.init(N, 0.7),
+    "shift_odd": lambda: shift.init(N + 1, 0.7),
     "splu": lambda: splu.init(N, rank=6, init_scale=0.7),
     "lra": lambda: lra.init(jax.random.PRNGKey(7), N, rank=4, init_scale=0.7),
 }
@@ -42,14 +44,18 @@ FLAT_FAMILIES = {
 
 def _module(name):
     return {"dense": dense, "diag": diag, "xmat": xmat, "xmat_odd": xmat,
-            "splu": splu, "lra": lra}[name]
+            "shift": shift, "shift_odd": shift, "splu": splu, "lra": lra}[name]
+
+
+def _n(name):
+    return N + 1 if name.endswith("_odd") else N
 
 
 @pytest.mark.parametrize("name", sorted(FLAT_FAMILIES))
 def test_apply_matches_materialized(name):
     mod = _module(name)
     state = FLAT_FAMILIES[name]()
-    n = N + 1 if name == "xmat_odd" else N
+    n = _n(name)
     g = jax.random.normal(jax.random.PRNGKey(1), (n,))
     # perturb the state away from (scaled) identity first
     key = jax.random.PRNGKey(2)
@@ -65,7 +71,7 @@ def test_apply_matches_materialized(name):
 def test_update_decreases_criterion(name):
     mod = _module(name)
     state = FLAT_FAMILIES[name]()
-    n = N + 1 if name == "xmat_odd" else N
+    n = _n(name)
     v, h = _vh(jax.random.PRNGKey(11), n)
     c0 = criterion(mod.materialize(state), v, h)
     for i in range(20):
@@ -78,7 +84,7 @@ def test_update_decreases_criterion(name):
 def test_P_is_spd(name):
     mod = _module(name)
     state = FLAT_FAMILIES[name]()
-    n = N + 1 if name == "xmat_odd" else N
+    n = _n(name)
     v, h = _vh(jax.random.PRNGKey(21), n)
     for i in range(5):
         state = mod.update(state, v, h, step=0.05, key=jax.random.PRNGKey(200 + i))
@@ -93,6 +99,7 @@ def _half_families(dtype):
         "dense": lambda: dense.init(N, 0.7, dtype=dtype),
         "diag": lambda: diag.init(N, 0.7, dtype=dtype),
         "xmat": lambda: xmat.init(N, 0.7, dtype=dtype),
+        "shift": lambda: shift.init(N, 0.7, dtype=dtype),
         "splu": lambda: splu.init(N, rank=6, init_scale=0.7, dtype=dtype),
         "lra": lambda: lra.init(
             jax.random.PRNGKey(7), N, rank=4, init_scale=0.7, dtype=dtype
@@ -187,6 +194,29 @@ def test_xmat_inverse_transpose_identity():
     w = (jnp.flip(a) * v - jnp.flip(b) * jnp.flip(v)) / det
     qt_w = a * w + jnp.flip(b) * jnp.flip(w)
     np.testing.assert_allclose(np.asarray(qt_w), np.asarray(v), rtol=1e-4, atol=1e-5)
+
+
+def test_shift_center_stays_zero_odd_n():
+    n = N + 1
+    state = shift.init(n)
+    for i in range(5):
+        v, h = _vh(jax.random.PRNGKey(50 + i), n)
+        state = shift.update(state, v, h, step=0.1)
+    assert float(state.b[n - 1]) == 0.0  # center is the LAST index (shift.py)
+
+
+def test_shift_couples_half_shift_partners():
+    """Q's off-diagonal pattern must be exactly {(i, (i + n//2) mod n)} —
+    the butterfly pairing, not xmat's mirror pairing."""
+    n = N
+    m = n // 2
+    state = shift.init(n, 0.8)
+    v, h = _vh(jax.random.PRNGKey(81), n)
+    state = shift.update(state, v, h, step=0.2)
+    x = jax.random.normal(jax.random.PRNGKey(82), (n,))
+    qx = shift.matvec(state, x)
+    expected = state.a * x + state.b * jnp.roll(x, -m)
+    np.testing.assert_allclose(np.asarray(qx), np.asarray(expected), rtol=1e-5, atol=1e-6)
 
 
 def test_diag_closed_form_reaches_equilibration():

@@ -9,8 +9,8 @@ import pytest
 import psgd_tf_tpu as psgd
 from psgd_tf_tpu.models import rosenbrock
 
-ALL_FAMILIES = ["dense", "diag", "xmat", "splu", "lra", "kron"]
-CONVERGING = ["dense", "xmat", "splu", "lra"]  # diag/kron see the 2 scalars
+ALL_FAMILIES = ["dense", "diag", "xmat", "shift", "splu", "lra", "kron"]
+CONVERGING = ["dense", "xmat", "shift", "splu", "lra"]  # diag/kron see the 2 scalars
 #                                             # as decoupled — see verify skill
 
 

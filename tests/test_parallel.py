@@ -38,7 +38,7 @@ def _flat_state(family, key):
     return fam, fam.init(N)
 
 
-@pytest.mark.parametrize("family", ["dense", "diag", "xmat", "splu", "lra"])
+@pytest.mark.parametrize("family", ["dense", "diag", "xmat", "shift", "splu", "lra"])
 def test_sharded_update_apply_matches_single_device(family, mesh):
     key = jax.random.PRNGKey(0)
     fam, state = _flat_state(family, key)
