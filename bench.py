@@ -176,6 +176,7 @@ def family_traffic_bytes(family: str, n: int, rank: int = 10) -> float:
       xmat : folded (2, m) state = 2n values; update reads state(2n),
              v,h(2n) + writes state'(2n); apply reads state'(2n), g +
              writes out                                       -> 40n B
+      shift: same folded (2, m) state and pass structure as xmat -> 40n B
       lra  : three streaming passes over U,V (2nr each) + vectors, one
              factor write, temp vectors; apply reads U,V,d,g + writes
              (ops/pallas/lra_upd.py traffic model)   -> (10nr + 19n) * 4 B
@@ -187,6 +188,7 @@ def family_traffic_bytes(family: str, n: int, rank: int = 10) -> float:
     return 4.0 * {
         "diag": 7 * n,
         "xmat": 10 * n,
+        "shift": 10 * n,
         "lra": 10 * n * rank + 19 * n,
         "splu": 10 * n * rank + 18 * n,
         "dense": 4 * n * n,
@@ -217,6 +219,7 @@ def bench_family_nnz_per_sec(family: str, n: int, rank: int = 10) -> float:
         "dense": n * (n + 1) // 2,
         "diag": n,
         "xmat": 2 * n,
+        "shift": 2 * n,
     }[family]
 
     def step(carry):
@@ -276,7 +279,10 @@ def main():
         results["hbm_stream_gb_per_sec"] = stream_bw
         log(f"HBM stream bound (128MB saxpy): {stream_bw:.0f} GB/s")
 
-    sizes = {"diag": 1 << 22, "xmat": 1 << 22, "lra": 1 << 20, "splu": 1 << 16, "dense": 1 << 12}
+    sizes = {
+        "diag": 1 << 22, "xmat": 1 << 22, "shift": 1 << 22,
+        "lra": 1 << 20, "splu": 1 << 16, "dense": 1 << 12,
+    }
     for famname, n in sizes.items():
         try:
             nps = bench_family_nnz_per_sec(famname, n)
@@ -289,6 +295,7 @@ def main():
                     "dense": n * (n + 1) // 2,
                     "diag": n,
                     "xmat": 2 * n,
+                    "shift": 2 * n,
                 }[famname]
                 gbs = family_traffic_bytes(famname, n) * (nps / nnz) / 1e9
                 frac = gbs / stream_bw
