@@ -290,6 +290,63 @@ def update(
     return state.replace(ql=ql, qr=qr)
 
 
+def update_multi(
+    states: Sequence[KronState],
+    dXs: Sequence[jax.Array],
+    dGs: Sequence[jax.Array],
+    step: jax.Array | float = 0.01,
+    key: jax.Array | None = None,
+) -> list[KronState]:
+    """Element-wise `update` over a layer list, with every eligible
+    (dense, dense) member updated in ONE fused launch.
+
+    Per-layer launches serialize their latency chains (each fused dd
+    update is ~30 dependent MXU ops); the multi kernel emits all layers in
+    one launch and hoists every diagonal-block inversion into a single
+    batched Newton chain (ops/pallas/kron_dd.fused_update_multi — measured
+    1.7x on LeNet5's 5-layer zoo). Identical per-layer numerics to
+    `update`; non-(dense,dense) / non-fp32 / oversized layers fall through
+    to `update` unchanged."""
+    del key
+    from psgd_tf_tpu.ops import pallas as pallas_ops
+
+    states = list(states)
+    if not (len(states) == len(dXs) == len(dGs)):
+        raise ValueError("states/dXs/dGs length mismatch")
+    eligible = (
+        [
+            i
+            for i, st in enumerate(states)
+            if st.fmt == ("dense", "dense")
+            and jnp.result_type(st.ql) == jnp.float32
+            and max(dXs[i].shape) <= pallas_ops.kron_dd.MAX_SIDE
+        ]
+        if pallas_ops.kernels_active()
+        else []
+    )
+    out: list = [None] * len(states)
+    if len(eligible) >= 2:
+        t = linalg.tiny(jnp.float32)
+        s = jnp.asarray(step, jnp.float32)
+        nqls, nqrs = pallas_ops.replicated_call(
+            lambda qls, qrs, xs, gs, sv: pallas_ops.kron_dd.fused_update_multi(
+                qls, qrs, xs, gs, sv, t,
+                interpret=pallas_ops.interpret_default(),
+            ),
+            tuple(states[i].ql for i in eligible),
+            tuple(states[i].qr for i in eligible),
+            tuple(dXs[i] for i in eligible),
+            tuple(dGs[i] for i in eligible),
+            s,
+        )
+        for j, i in enumerate(eligible):
+            out[i] = states[i].replace(ql=nqls[j], qr=nqrs[j])
+    for i in range(len(states)):
+        if out[i] is None:
+            out[i] = update(states[i], dXs[i], dGs[i], step)
+    return out
+
+
 def _sparse_dispatch(kind, xla_fn, a, b, dX, dG, s, t):
     """Route a sparse-format pair update to its one-launch fused kernel
     (ops/pallas/kron_sparse.py) when active, else the XLA path."""

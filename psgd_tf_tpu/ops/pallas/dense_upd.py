@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from psgd_tf_tpu.ops.pallas.tri import BS, VMEM_LIMIT, _newton_inv
+from psgd_tf_tpu.ops.pallas import tri as tri_mod
+from psgd_tf_tpu.ops.pallas.tri import BS, VMEM_LIMIT
 
 # VMEM cap: Q, the rank-2 gradient, and the G Q product are all (n, n)
 # live at once (~4 n^2 fp32 arrays + solve temps); with the raised
@@ -52,15 +53,23 @@ def _kernel(q_ref, v_ref, h_ref, s_ref, out_ref, *, nb, tiny):
     q = q_ref[:]
     a = dot(q, h_ref[:])  # (n, 1)
 
-    # solve Q^T b = v: effective lower system, forward over block rows
+    # solve Q^T b = v: effective lower system, forward over block rows.
+    # All diagonal-block inversions run as ONE batched Newton chain
+    # (tri._newton_inv_batched) instead of nb dependent per-row chains —
+    # the kernel's latency critical path.
+    invs = tri_mod._newton_inv_batched(
+        jnp.stack([
+            q[i * BS : (i + 1) * BS, i * BS : (i + 1) * BS].T
+            for i in range(nb)
+        ])
+    )
     rows = []
     for i in range(nb):
         acc = v_ref[i * BS : (i + 1) * BS, :]
         for j in range(i):
             mij = q[j * BS : (j + 1) * BS, i * BS : (i + 1) * BS].T
             acc = acc - hdot(mij, rows[j])
-        inv = _newton_inv(q[i * BS : (i + 1) * BS, i * BS : (i + 1) * BS].T, BS)
-        rows.append(hdot(inv, acc))
+        rows.append(hdot(invs[i], acc))
     b = jnp.concatenate(rows, axis=0) if nb > 1 else rows[0]
 
     g = outer(a, a) - outer(b, b)

@@ -29,7 +29,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from psgd_tf_tpu.ops.pallas.tri import BS, VMEM_LIMIT
-from psgd_tf_tpu.ops.pallas.kron_dd import _left_solve_t, _right_solve
+from psgd_tf_tpu.ops.pallas import tri as tri_mod
+from psgd_tf_tpu.ops.pallas.kron_dd import (
+    _diag_blocks_plain, _diag_blocks_t, _left_solve_t, _right_solve,
+)
 
 # single-launch VMEM budget: ~6 (mp, np) intermediates + dense factors
 MAX_ELEMS = 512 * 512
@@ -179,7 +182,10 @@ def _kernel_ds(ql_ref, qr_ref, dx_ref, dg_ref, s_ref,
     qr = jnp.where(colv, rho * qr, 1.0)
 
     A = _dot(Ql, dg_ref[:]) * qr
-    Bt = _left_solve_t(Ql, dx_ref[:], mp // BS) / qr
+    invs_t = tri_mod._newton_inv_batched(jnp.stack(_diag_blocks_t(Ql, mp)))
+    Bt = _left_solve_t(
+        Ql, dx_ref[:], mp // BS, [invs_t[i] for i in range(mp // BS)]
+    ) / qr
 
     step = s_ref[0, 0]
     newql_ref[:] = _dense_triu_update(A, Bt, Ql, step, tiny)
@@ -211,7 +217,11 @@ def _kernel_nd(ql0_ref, ql1_ref, qr_ref, dx_ref, dg_ref, s_ref,
     Qr = jnp.where(eye_rows, eye, rho * Qr)
 
     A = _dott(_arrow_A(ql0c, ql1c, dg_ref[:], m, mp), Qr)   # Ql dG Qr^T
-    Bt = _right_solve(Qr, _arrow_invT(ql0c, ql1c, dx_ref[:], m, mp), np_ // BS)
+    invs = tri_mod._newton_inv_batched(jnp.stack(_diag_blocks_plain(Qr, np_)))
+    Bt = _right_solve(
+        Qr, _arrow_invT(ql0c, ql1c, dx_ref[:], m, mp), np_ // BS,
+        [invs[j] for j in range(np_ // BS)],
+    )
 
     step = s_ref[0, 0]
     diag, bias = _arrow_grads(A, Bt, m, mp)

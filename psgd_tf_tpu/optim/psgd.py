@@ -378,21 +378,19 @@ class PSGD:
                             )
                             for bst, idx in zip(pc.batches, pc.batched_idx)
                         ],
-                        singles=[
-                            kron.update(
-                                ks, v_leaves[i], h_leaves[i],
-                                step=hyper.lr_preconditioner,
-                            )
-                            for ks, i in zip(pc.singles, pc.single_idx)
-                        ],
+                        singles=kron.update_multi(
+                            pc.singles,
+                            [v_leaves[i] for i in pc.single_idx],
+                            [h_leaves[i] for i in pc.single_idx],
+                            step=hyper.lr_preconditioner,
+                        ),
                     )
                 else:
-                    precond = [
-                        kron.update(
-                            ks, vl, hl, step=hyper.lr_preconditioner
-                        )
-                        for ks, vl, hl in zip(pc, v_leaves, h_leaves)
-                    ]
+                    # all eligible (dense, dense) layers in one fused
+                    # launch with a single batched Newton chain
+                    precond = kron.update_multi(
+                        pc, v_leaves, h_leaves, step=hyper.lr_preconditioner
+                    )
             return loss, grads, precond, apply_kron(precond, grads)
 
         def step_without(_):

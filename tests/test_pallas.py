@@ -69,6 +69,63 @@ def test_fused_kron_dd_matches_xla_path(shape):
     np.testing.assert_allclose(np.asarray(got_qr), np.asarray(ref_qr), rtol=1e-5, atol=1e-6)
 
 
+def test_fused_kron_dd_multi_matches_per_layer():
+    """The one-launch heterogeneous multi-layer update (global batched
+    Newton chain) must equal per-layer updates exactly — the LeNet5 layer
+    zoo plus an odd extra shape."""
+    shapes = [(26, 6), (151, 16), (401, 120), (121, 84), (85, 10), (7, 3)]
+    qls, qrs, dxs, dgs = [], [], [], []
+    for i, (m, n) in enumerate(shapes):
+        k = jax.random.fold_in(KEY, 10 + i)
+        qls.append(_triu_mat(k, m, noise=0.05))
+        qrs.append(_triu_mat(jax.random.fold_in(k, 1), n, noise=0.05))
+        dxs.append(jax.random.normal(jax.random.fold_in(k, 2), (m, n)))
+        dgs.append(jax.random.normal(jax.random.fold_in(k, 3), (m, n)))
+    got_qls, got_qrs = kron_dd.fused_update_multi(
+        qls, qrs, dxs, dgs, 0.1, TINY, interpret=True
+    )
+    for i in range(len(shapes)):
+        ref_ql, ref_qr = kron_dd.fused_update(
+            qls[i], qrs[i], dxs[i], dgs[i], 0.1, TINY, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_qls[i]), np.asarray(ref_ql), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_qrs[i]), np.asarray(ref_qr), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_kron_update_multi_matches_elementwise_updates():
+    """groups.kron.update_multi (the optimizer's layer-list path) must
+    equal element-wise kron.update with the kernels forced on (interpret)
+    AND mix eligible dd layers with sparse-format ones untouched."""
+    from psgd_tf_tpu.ops import pallas as pallas_ops
+
+    shapes = [(26, 6), (151, 16), (121, 84)]
+    fmts = [("dense", "dense"), ("norm", "scale"), ("dense", "dense")]
+    states, dxs, dgs = [], [], []
+    for i, ((m, n), fmt) in enumerate(zip(shapes, fmts)):
+        k = jax.random.fold_in(KEY, 30 + i)
+        states.append(kron.init((m, n), fmt=fmt, init_scale=0.8))
+        dxs.append(jax.random.normal(jax.random.fold_in(k, 2), (m, n)))
+        dgs.append(jax.random.normal(jax.random.fold_in(k, 3), (m, n)))
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("shard",))
+    with pallas_ops.sharding(mesh):  # kernels_active() on CPU, interpreted
+        got = kron.update_multi(states, dxs, dgs, step=0.1)
+        ref = [
+            kron.update(st, dx, dg, step=0.1)
+            for st, dx, dg in zip(states, dxs, dgs)
+        ]
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(g.ql), np.asarray(r.ql), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(g.qr), np.asarray(r.qr), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_fused_kron_dd_preserves_triangularity():
     ql = _triu_mat(KEY, 100, noise=0.05)
     qr = _triu_mat(jax.random.fold_in(KEY, 1), 60, noise=0.05)
