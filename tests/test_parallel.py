@@ -102,6 +102,45 @@ def test_sharded_full_step_matches_single_device(family, mesh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
 
 
+def test_sharded_kron_multi_step_matches_single_device(mesh):
+    """An MLP with 3 heterogeneous (dense, dense) layers — below the
+    bucketed-batch crossover, so the optimizer routes them through
+    kron.update_multi's ONE-launch kernel (replicated shard_map under the
+    mesh, interpret mode here). Sharded step must match single-device."""
+    key = jax.random.PRNGKey(5)
+    shapes = [(9, 12), (12, 7), (7, 3)]
+    params = [
+        0.4 * jax.random.normal(jax.random.fold_in(key, i), s)
+        for i, s in enumerate(shapes)
+    ]
+    x = jax.random.normal(jax.random.fold_in(key, 9), (16, 9))
+
+    def loss(ws, x):
+        y = x
+        for w in ws:
+            y = jnp.tanh(y @ w)
+        return jnp.mean(jnp.sum(y * y, axis=-1))
+
+    opt = psgd.PSGD(
+        preconditioner="kron", lr_params=0.05, lr_preconditioner=0.05,
+        grad_clip_max_norm=1.0, kron_batch_min=99,  # force the singles path
+    )
+    state = opt.init(params, jax.random.fold_in(key, 2))
+    k_step = jax.random.fold_in(key, 3)
+
+    ref_params, _, ref_aux = jax.jit(partial(opt.step, loss))(
+        params, state, k_step, x
+    )
+    step = build_sharded_step(opt, loss, mesh, state, params, donate=False)
+    got_params, _, got_aux = step(params, state, k_step, x)
+
+    np.testing.assert_allclose(
+        float(got_aux["loss"]), float(ref_aux["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(got_params), jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+
+
 @pytest.mark.parametrize("n,rank", [(64, 4), (100, 5), (257, 3)])
 def test_sharded_fused_lra_matches_xla_oracle(mesh, n, rank):
     """The shard_map'd fused kernel (psum'd rank-space reductions) must
