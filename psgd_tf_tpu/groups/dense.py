@@ -81,6 +81,46 @@ def update(
     return DenseState(Q=q - step0 * grad_q)
 
 
+def update_apply(
+    state: DenseState,
+    v: jax.Array,
+    h: jax.Array,
+    g: jax.Array,
+    step: jax.Array | float = 0.01,
+    key: jax.Array | None = None,
+) -> tuple[DenseState, jax.Array]:
+    """update() followed by apply() of the UPDATED Q, fused on TPU.
+
+    The gridded kernel folds P' g into the update's final Q sweep
+    (dense_big.fused_update_apply: 2 reads + 1 write of Q total, vs 6
+    Q-traffics for the separate calls); the VMEM-resident kernel computes
+    it in the same launch. Reference sequencing parity: the demos update
+    Q then precondition with the NEW Q (ref mnist_with_lenet5.py:51-53).
+    """
+    del key
+    from psgd_tf_tpu.ops import pallas as pallas_ops  # late: avoid cycle
+
+    q = state.Q
+    n = q.shape[0]
+    if pallas_ops.kernels_active() and q.dtype == jnp.float32:
+        if n <= pallas_ops.dense_upd.MAX_N:
+            new_q, pre = pallas_ops.replicated_call(
+                lambda *a: pallas_ops.dense_upd.fused_update_apply(
+                    *a, linalg.tiny(q.dtype),
+                    interpret=pallas_ops.interpret_default(),
+                ),
+                q, v, h, g, step,
+            )
+            return DenseState(Q=new_q), pre
+        if n <= pallas_ops.dense_big.MAX_N and pallas_ops.shard_ctx() is None:
+            new_q, pre = pallas_ops.dense_big.fused_update_apply(
+                q, v, h, g, step, linalg.tiny(q.dtype)
+            )
+            return DenseState(Q=new_q), pre
+    st = update(state, v, h, step=step)
+    return st, apply(st, g)
+
+
 def apply(state: DenseState, g: jax.Array) -> jax.Array:
     """P g = Q^T (Q g) — two triangular matvecs (ref :55)."""
     q = state.Q

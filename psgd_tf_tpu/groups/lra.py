@@ -91,7 +91,8 @@ def update(
         # three-pass streaming kernels (ops/pallas/lra_upd.py); identical
         # PRNG branch structure, so trajectories match the path below
         new_U, new_V, new_d = pallas_ops.lra_upd.fused_update(
-            state.U, state.V, state.d, v, h, step, key, t
+            state.U, state.V, state.d, v, h, step, key, t,
+            interpret=pallas_ops.interpret_default(),
         )
         return LRAState(U=new_U, V=new_V, d=new_d)
 
@@ -212,7 +213,8 @@ def update_apply(
         return LRAState(U=new_U, V=new_V, d=new_d), pre
     if pallas_ops.enabled() and dtype == jnp.float32:
         new_U, new_V, new_d, pre = pallas_ops.lra_upd.fused_update_apply(
-            state.U, state.V, state.d, v, h, g, step, key, t
+            state.U, state.V, state.d, v, h, g, step, key, t,
+            interpret=pallas_ops.interpret_default(),
         )
         return LRAState(U=new_U, V=new_V, d=new_d), pre
     st = update(state, v, h, step=step, key=key)

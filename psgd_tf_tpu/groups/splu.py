@@ -117,6 +117,15 @@ def update(
         and n - r >= 1
         and (ctx is not None or pallas_ops.enabled())
     ):
+        if ctx is None and pallas_ops.splu_one.fits(r, n):
+            # single-launch VMEM-resident update: state read once, whole
+            # algebra on-chip (ops/pallas/splu_one.py)
+            Lt, l3, U12, u3 = pallas_ops.splu_one.fused_update(
+                state.Lt, state.l3, state.U12, state.u3, v, h,
+                step, linalg.tiny(dtype),
+                interpret=pallas_ops.interpret_default(),
+            )
+            return SpLUState(Lt=Lt, l3=l3, U12=U12, u3=u3)
         # fused three-pass tail streaming (ops/pallas/splu_upd.py);
         # sharded over the mesh when a sharding context is active
         mesh, axis = ctx if ctx is not None else (None, None)
@@ -222,15 +231,31 @@ def update_apply(
 ) -> tuple[SpLUState, jax.Array]:
     """update() followed by apply() of the UPDATED state.
 
-    A fused variant exists (splu_upd.fused_update(..., g=g): the apply
-    Gram rides the update's stage-3 sweep plus one map pass, same
-    architecture as lra's) and matches this sequence to float rounding —
-    but MEASURED SLOWER on v5e (n=1M r=10: +2.6ms vs the XLA apply
-    chain's 365us; the stage-3 accumulator output appears to serialize
-    Mosaic's grid pipelining here where lra's identical pattern doesn't).
-    Until that is understood, this routes through the separate calls;
-    lra.update_apply keeps its fused path (+22% measured)."""
+    VMEM-resident sizes route to the single-launch fused kernel
+    (ops/pallas/splu_one.py: update + P' g in one launch, state read
+    once). For STREAMING sizes the fused variant that rides the update's
+    stage-3 sweep (splu_upd.fused_update(..., g=g)) measured SLOWER on
+    v5e (n=1M r=10: +2.6ms vs the XLA apply chain's 365us — the stage-3
+    accumulator output serializes Mosaic's grid pipelining; the resident
+    kernel has no grid, which is the root-cause-consistent fix), so the
+    streaming regime keeps the separate calls."""
     del key
+    from psgd_tf_tpu.ops import pallas as pallas_ops  # late: avoid cycle
+
+    r, n = state.U12.shape
+    if (
+        state.Lt.dtype == jnp.float32
+        and n - r >= 1
+        and pallas_ops.shard_ctx() is None
+        and pallas_ops.enabled()
+        and pallas_ops.splu_one.fits(r, n)
+    ):
+        Lt, l3, U12, u3, pre = pallas_ops.splu_one.fused_update(
+            state.Lt, state.l3, state.U12, state.u3, v, h,
+            step, linalg.tiny(state.Lt.dtype),
+            interpret=pallas_ops.interpret_default(), g=g,
+        )
+        return SpLUState(Lt=Lt, l3=l3, U12=U12, u3=u3), pre
     st = update(state, v, h, step=step)
     return st, apply(st, g)
 

@@ -1,4 +1,4 @@
-"""Gridded large-n dense update — HBM-streaming Pallas stages.
+"""Gridded large-n dense update (+ fused apply) — HBM-streaming Pallas stages.
 
 The single-launch kernel (dense_upd.py) holds Q in VMEM and caps at
 n <= MAX_N; the reference's own capacity guidance says the dense family is
@@ -9,20 +9,30 @@ MB and must stream from HBM. This kernel implements the same rank-2 update
   step0 = step / (max|triu(a a^T - b b^T)| + tiny)
   Q' = Q - step0 * (a * S_a - b * S_b),   S_x[r, :] = sum_{j >= r} x_j Q[j, :]
 
-in four streaming stages, touching Q exactly three times (2 reads +
-1 read+write) — the O(n^2)-traffic minimum for this formulation:
+with Q touched exactly TWICE (1 read + 1 read+write) — the O(n^2)-traffic
+minimum for this formulation given that the exact max-abs step normalizer
+must be known before Q can be rewritten:
 
-  A (grid over row panels):    a_blk = Q_panel @ h            (read Q once)
-  B (grid over column panels): forward block substitution for Q^T b = v;
-      b accumulates in a VMEM scratch that persists across the grid
-      (TPU grid steps run in order), so step j's panel^T b picks up
-      exactly the already-solved prefix                       (read Q once)
+  AB (grid over column panels, sequential): ONE pass computes BOTH probe
+      images from the same panel — a accumulates panel @ h_j into a
+      VMEM-carried (n, 1) output, and Q^T b = v is solved by forward
+      block substitution (b's solved prefix lives in a VMEM scratch that
+      persists across grid steps; TPU grid steps run in order)
+                                                          (read Q once)
   B2 (grid over row blocks):   exact max|triu(a a^T - b b^T)| computed
       from a, b alone — O(n^2) VPU flops but O(n) memory traffic
   C (grid over row panels, REVERSED index map): the reverse cumulative
       sums ride a running (1, n) scratch; the intra-panel part is ONE
       (B, B) upper-triangular-ones MXU matmul per panel
       (triu_ones @ (a_blk * Q_panel))            (read + write Q once)
+
+With `g` (fused_update_apply) stage C additionally accumulates
+P' g = Q'^T (Q' g) panel-by-panel — each row panel contributes
+panel^T (panel @ g) independently — so the preconditioned gradient of the
+UPDATED Q costs ZERO extra HBM traffic. Update+apply therefore moves
+3 n^2 floats total where the separate-call schedule moved 6 n^2 (round-2
+bench: 39.5% of the stream bound; see bench.py's per-family traffic
+model, which charges the 4 n^2 analytic minimum).
 
 Padding extends Q with an identity diagonal (exact: padded probe entries
 are zero). Solves pin Precision.HIGHEST like every kernel in this package;
@@ -52,29 +62,28 @@ def _params():
     return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
 
 
-# --------------------------------------------------------- stage A: a = Q h
+# ---------------- stage AB: a = Q h and solve Q^T b = v in ONE pass over Q
 
-def _matvec_kernel(q_ref, h_ref, a_ref):
-    a_ref[:] = jnp.dot(
-        q_ref[:], h_ref[:], preferred_element_type=jnp.float32
-    )
+def _probe_kernel(q_ref, v_ref, h_ref, b_ref, a_ref, bscr_ref, *, nb):
+    """Grid step j over column panels.
 
-
-# ------------------------------------------- stage B: solve Q^T b = v
-
-def _solve_kernel(q_ref, v_ref, b_ref, bscr_ref, *, nb):
-    """Grid step j: b_j = inv(Q_jj^T) (v_j - Q[:, jcols]^T b_prefix).
-
-    q_ref streams the full (n, BLK) column panel; bscr holds b so far
-    (zeros ahead of the frontier), so the panel^T-matvec needs no masking."""
+    a: a += Q[:, jcols] @ h_j — accumulated in the (n, 1) output block
+    (constant index map keeps it VMEM-resident across steps).
+    b: b_j = inv(Q_jj^T) (v_j - Q[:, jcols]^T b_prefix); bscr holds b so
+    far (zeros ahead of the frontier), so the panel^T-matvec needs no
+    masking."""
     j = pl.program_id(0)
 
     @pl.when(j == 0)
     def _():
         bscr_ref[:] = jnp.zeros_like(bscr_ref)
+        a_ref[:] = jnp.zeros_like(a_ref)
+
+    q = q_ref[:]
+    a_ref[:] += jnp.dot(q, h_ref[:], preferred_element_type=jnp.float32)
 
     acc = v_ref[:] - jax.lax.dot_general(
-        q_ref[:], bscr_ref[:], (((0,), (0,)), ((), ())),
+        q, bscr_ref[:], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=tri_mod.SOLVE_PRECISION,
     )
@@ -105,12 +114,17 @@ def _maxabs_kernel(acol_ref, bcol_ref, arow_ref, brow_ref, out_ref, *, n):
 
 
 # ------------------- stage C: Q' = Q - step0 (a * S_a - b * S_b), reversed
+#                     (+ optional P' g accumulation: zero extra Q traffic)
 
 def _update_kernel(q_ref, acol_ref, bcol_ref, s_ref, newq_ref,
                    ta_ref, tb_ref, *, nb):
     """Row panels processed LAST to FIRST (reversed index map); ta/tb carry
     sum_{j in later panels} x_j Q[j, :]. Intra-panel reverse cumsum =
     upper-triangular-ones matmul."""
+    _update_body(q_ref, acol_ref, bcol_ref, s_ref, newq_ref, ta_ref, tb_ref)
+
+
+def _update_body(q_ref, acol_ref, bcol_ref, s_ref, newq_ref, ta_ref, tb_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -128,24 +142,37 @@ def _update_kernel(q_ref, acol_ref, bcol_ref, s_ref, newq_ref,
     sb = jnp.dot(triu_ones, wb, preferred_element_type=jnp.float32) + tb_ref[:]
 
     step0 = s_ref[0]
-    newq_ref[:] = q - step0 * (acol_ref[:] * sa - bcol_ref[:] * sb)
+    newq = q - step0 * (acol_ref[:] * sa - bcol_ref[:] * sb)
+    newq_ref[:] = newq
 
     ta_ref[:] += jnp.sum(wa, axis=0, keepdims=True)
     tb_ref[:] += jnp.sum(wb, axis=0, keepdims=True)
+    return newq
+
+
+def _update_apply_kernel(q_ref, acol_ref, bcol_ref, g_ref, s_ref,
+                         newq_ref, pre_ref, ta_ref, tb_ref, *, nb):
+    """Stage C + P' g: each row panel of the UPDATED Q contributes
+    panel^T (panel @ g) to pre — order-independent, so it rides the
+    reversed sweep free of extra traffic."""
+    i = pl.program_id(0)
+    newq = _update_body(q_ref, acol_ref, bcol_ref, s_ref, newq_ref,
+                        ta_ref, tb_ref)
+
+    @pl.when(i == 0)
+    def _():
+        pre_ref[:] = jnp.zeros_like(pre_ref)
+
+    u = jnp.dot(newq, g_ref[:], preferred_element_type=jnp.float32)
+    pre_ref[:] += jax.lax.dot_general(
+        newq, u, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 # ------------------------------------------------------------------ wrapper
 
-@functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
-def fused_update(
-    q: jax.Array,
-    v: jax.Array,
-    h: jax.Array,
-    step: jax.Array | float,
-    tiny: float,
-    interpret: bool = False,
-) -> jax.Array:
-    """Gridded dense update for MAX_N >= n > dense_upd.MAX_N; returns Q'."""
+def _stages(q, v, h, step, tiny, interpret, g=None):
     n = q.shape[0]
     np_ = _cdiv(n, BLK) * BLK
     if np_ > MAX_N:
@@ -162,37 +189,28 @@ def fused_update(
     vcol = jnp.zeros((np_, 1), f32).at[:n, 0].set(v)
     hcol = jnp.zeros((np_, 1), f32).at[:n, 0].set(h)
 
-    row_panel = pl.BlockSpec((BLK, np_), lambda i: (i, 0), memory_space=pltpu.VMEM)
     col_panel = pl.BlockSpec((np_, BLK), lambda j: (0, j), memory_space=pltpu.VMEM)
     col_blk = pl.BlockSpec((BLK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    full_col = pl.BlockSpec((np_, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    full_row = pl.BlockSpec((1, np_), lambda i: (0, 0), memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
+    full_col = rep((np_, 1))
+    full_row = rep((1, np_))
 
-    # stage A: a = Q h
-    acol = pl.pallas_call(
-        _matvec_kernel,
+    # stage AB: a = Q h and b = Q^{-T} v in one sequential pass over Q
+    bcol, acol = pl.pallas_call(
+        functools.partial(_probe_kernel, nb=nb),
         grid=(nb,),
-        in_specs=[row_panel, full_col],
-        out_specs=col_blk,
-        out_shape=jax.ShapeDtypeStruct((np_, 1), f32),
-        interpret=interpret,
-        compiler_params=_params(),
-    )(qp, hcol)
-
-    # stage B: b = Q^{-T} v (sequential over column panels, VMEM carry)
-    bcol = pl.pallas_call(
-        functools.partial(_solve_kernel, nb=nb),
-        grid=(nb,),
-        in_specs=[col_panel, col_blk],
-        out_specs=col_blk,
-        out_shape=jax.ShapeDtypeStruct((np_, 1), f32),
+        in_specs=[col_panel, col_blk, col_blk],
+        out_specs=(col_blk, full_col),
+        out_shape=(
+            jax.ShapeDtypeStruct((np_, 1), f32),
+            jax.ShapeDtypeStruct((np_, 1), f32),
+        ),
         scratch_shapes=[pltpu.VMEM((np_, 1), f32)],
         interpret=interpret,
         compiler_params=_params(),
-    )(qp, vcol)
+    )(qp, vcol, hcol)
 
     # stage B2: the exact step normalizer from a, b alone
     mx = pl.pallas_call(
@@ -213,16 +231,61 @@ def fused_update(
     rev_blk = pl.BlockSpec(
         (BLK, 1), lambda i: (nb - 1 - i, 0), memory_space=pltpu.VMEM
     )
-    newq = pl.pallas_call(
-        functools.partial(_update_kernel, nb=nb),
+    if g is None:
+        newq = pl.pallas_call(
+            functools.partial(_update_kernel, nb=nb),
+            grid=(nb,),
+            in_specs=[rev_panel, rev_blk, rev_blk,
+                      pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=rev_panel,
+            out_shape=jax.ShapeDtypeStruct((np_, np_), f32),
+            scratch_shapes=[pltpu.VMEM((1, np_), f32), pltpu.VMEM((1, np_), f32)],
+            interpret=interpret,
+            compiler_params=_params(),
+        )(qp, acol, bcol, step0)
+        return newq[:n, :n], None
+
+    gcol = jnp.zeros((np_, 1), f32).at[:n, 0].set(g)
+    newq, pre = pl.pallas_call(
+        functools.partial(_update_apply_kernel, nb=nb),
         grid=(nb,),
-        in_specs=[rev_panel, rev_blk, rev_blk,
+        in_specs=[rev_panel, rev_blk, rev_blk, full_col,
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=rev_panel,
-        out_shape=jax.ShapeDtypeStruct((np_, np_), f32),
+        out_specs=(rev_panel, full_col),
+        out_shape=(
+            jax.ShapeDtypeStruct((np_, np_), f32),
+            jax.ShapeDtypeStruct((np_, 1), f32),
+        ),
         scratch_shapes=[pltpu.VMEM((1, np_), f32), pltpu.VMEM((1, np_), f32)],
         interpret=interpret,
         compiler_params=_params(),
-    )(qp, acol, bcol, step0)
+    )(qp, acol, bcol, gcol, step0)
+    return newq[:n, :n], pre[:n, 0]
 
-    return newq[:n, :n]
+
+@functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
+def fused_update(
+    q: jax.Array,
+    v: jax.Array,
+    h: jax.Array,
+    step: jax.Array | float,
+    tiny: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Gridded dense update for MAX_N >= n > dense_upd.MAX_N; returns Q'."""
+    return _stages(q, v, h, step, tiny, interpret)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
+def fused_update_apply(
+    q: jax.Array,
+    v: jax.Array,
+    h: jax.Array,
+    g: jax.Array,
+    step: jax.Array | float,
+    tiny: float,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Gridded dense update + P' g of the UPDATED Q in the same sweep;
+    returns (Q', pre_grad). Total Q traffic: 2 reads + 1 write."""
+    return _stages(q, v, h, step, tiny, interpret, g=g)

@@ -36,7 +36,8 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _kernel(q_ref, v_ref, h_ref, s_ref, out_ref, *, nb, tiny):
+def _kernel(q_ref, v_ref, h_ref, g_ref, s_ref, out_ref, *rest, nb, tiny,
+            with_apply):
     # default MXU precision for the statistical parts (matvec, outer
     # products, G Q) — matches the XLA baseline; the solve below pins
     # Precision.HIGHEST where substitution amplifies rounding
@@ -72,26 +73,24 @@ def _kernel(q_ref, v_ref, h_ref, s_ref, out_ref, *, nb, tiny):
         rows.append(hdot(invs[i], acc))
     b = jnp.concatenate(rows, axis=0) if nb > 1 else rows[0]
 
-    g = outer(a, a) - outer(b, b)
-    r = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-    g = jnp.where(r <= c, g, 0.0)
-    step0 = s_ref[0, 0] / (jnp.max(jnp.abs(g)) + tiny)
-    out_ref[:] = q - step0 * dot(g, q)
+    grad = outer(a, a) - outer(b, b)
+    r = jax.lax.broadcasted_iota(jnp.int32, grad.shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, grad.shape, 1)
+    grad = jnp.where(r <= c, grad, 0.0)
+    step0 = s_ref[0, 0] / (jnp.max(jnp.abs(grad)) + tiny)
+    newq = q - step0 * dot(grad, q)
+    out_ref[:] = newq
+
+    if with_apply:
+        # P' g = Q'^T (Q' g) of the UPDATED Q, still VMEM-resident
+        (pre_ref,) = rest
+        pre_ref[:] = dot(newq.T, dot(newq, g_ref[:]))
 
 
-@functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
-def fused_update(
-    q: jax.Array,
-    v: jax.Array,
-    h: jax.Array,
-    step: jax.Array | float,
-    tiny: float,
-    interpret: bool = False,
-) -> jax.Array:
-    """One-launch dense update; returns Q'. Pads n to a 128 multiple with
-    an identity diagonal extension (exact: padded probe entries are 0, so
-    padded a/b rows are 0 and the padded Q block is untouched)."""
+def _call(q, v, h, g, step, tiny, interpret, with_apply):
+    """Shared launch: pads n to a 128 multiple with an identity diagonal
+    extension (exact: padded probe entries are 0, so padded a/b rows are 0
+    and the padded Q block is untouched)."""
     n = q.shape[0]
     np_ = _cdiv(n, BS) * BS
     if np_ > MAX_N:
@@ -105,19 +104,53 @@ def fused_update(
         )
     pad_v = jnp.zeros((np_, BS), q.dtype).at[:n, 0].set(v)
     pad_h = jnp.zeros((np_, BS), q.dtype).at[:n, 0].set(h)
+    pad_g = jnp.zeros((np_, 1), q.dtype)
+    if with_apply:
+        pad_g = pad_g.at[:n, 0].set(g)
     s = jnp.asarray(step, q.dtype).reshape(1, 1)
 
+    out_shape = [jax.ShapeDtypeStruct((np_, np_), q.dtype)]
+    if with_apply:
+        out_shape.append(jax.ShapeDtypeStruct((np_, 1), q.dtype))
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel, nb=np_ // BS, tiny=tiny),
-        out_shape=jax.ShapeDtypeStruct((np_, np_), q.dtype),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        functools.partial(
+            _kernel, nb=np_ // BS, tiny=tiny, with_apply=with_apply
+        ),
+        out_shape=tuple(out_shape),
+        in_specs=[vm(), vm(), vm(), vm(),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tuple(vm() for _ in out_shape),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
-    )(qp, pad_v, pad_h, s)
-    return out[:n, :n]
+    )(qp, pad_v, pad_h, pad_g, s)
+    if with_apply:
+        return out[0][:n, :n], out[1][:n, 0]
+    return out[0][:n, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
+def fused_update(
+    q: jax.Array,
+    v: jax.Array,
+    h: jax.Array,
+    step: jax.Array | float,
+    tiny: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """One-launch dense update; returns Q'."""
+    return _call(q, v, h, None, step, tiny, interpret, False)
+
+
+@functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
+def fused_update_apply(
+    q: jax.Array,
+    v: jax.Array,
+    h: jax.Array,
+    g: jax.Array,
+    step: jax.Array | float,
+    tiny: float,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """One-launch dense update + P' g of the UPDATED Q; returns (Q', pre)."""
+    return _call(q, v, h, g, step, tiny, interpret, True)

@@ -284,3 +284,109 @@ def test_fused_splu_update_apply_matches_sequence(n, r):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
         )
+
+
+# ------------------------------------------------ resident one-launch splu
+
+@pytest.mark.parametrize("n,r", [(64, 6), (100, 10), (300, 4), (48, 1), (200, 16)])
+def test_resident_splu_matches_xla_path(n, r):
+    """splu_one single-launch update (corner Newton solves in-kernel)
+    against the XLA oracle."""
+    from psgd_tf_tpu.groups import splu
+    from psgd_tf_tpu.ops.pallas import splu_one
+
+    st = _splu_perturbed(n, r, seed=11)
+    key = jax.random.PRNGKey(13)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+    h = jax.random.normal(jax.random.fold_in(key, 2), (n,))
+    ref = splu.update(st, v, h, step=0.05)  # XLA path (pallas off on CPU)
+    got = splu_one.fused_update(
+        st.Lt, st.l3, st.U12, st.u3, v, h, 0.05, TINY, interpret=True
+    )
+    for a, b in zip(got, (ref.Lt, ref.l3, ref.U12, ref.u3)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        )
+
+
+@pytest.mark.parametrize("n,r", [(64, 6), (130, 10)])
+def test_resident_splu_update_apply_matches_sequence(n, r):
+    """The one-launch fused update+apply equals update() then apply()."""
+    from psgd_tf_tpu.groups import splu
+    from psgd_tf_tpu.ops.pallas import splu_one
+
+    st = _splu_perturbed(n, r, seed=12)
+    key = jax.random.PRNGKey(14)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+    h = jax.random.normal(jax.random.fold_in(key, 2), (n,))
+    g = jax.random.normal(jax.random.fold_in(key, 3), (n,))
+    st2 = splu.update(st, v, h, step=0.05)  # XLA on CPU
+    pre_ref = splu.apply(st2, g)
+    got = splu_one.fused_update(
+        st.Lt, st.l3, st.U12, st.u3, v, h, 0.05, TINY, interpret=True, g=g
+    )
+    for a, b in zip(got, (st2.Lt, st2.l3, st2.U12, st2.u3, pre_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        )
+
+
+def test_resident_splu_preserves_structure_and_cap():
+    from psgd_tf_tpu.ops.pallas import splu_one
+
+    n, r = 80, 5
+    st = _splu_perturbed(n, r, seed=13)
+    key = jax.random.PRNGKey(15)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+    h = jax.random.normal(jax.random.fold_in(key, 2), (n,))
+    Lt, l3, U12, u3 = splu_one.fused_update(
+        st.Lt, st.l3, st.U12, st.u3, v, h, 0.05, TINY, interpret=True
+    )
+    L1 = np.asarray(Lt[:, :r].T)
+    U1 = np.asarray(U12[:, :r])
+    np.testing.assert_allclose(L1, np.tril(L1))
+    np.testing.assert_allclose(U1, np.triu(U1))
+    assert splu_one.fits(10, 65536)        # the bench shape is resident
+    assert not splu_one.fits(10, 1 << 20)  # 1M tails stay streaming
+
+
+# ------------------------------------------------- dense fused update+apply
+
+@pytest.mark.parametrize("n", [200, 550])
+def test_gridded_dense_update_apply_matches_sequence(n):
+    """dense_big.fused_update_apply == update() then apply() of new Q."""
+    from psgd_tf_tpu.ops.pallas import dense_big
+
+    key = jax.random.PRNGKey(21)
+    st = dense.init(n, 0.8)
+    for i in range(3):
+        v = jax.random.normal(jax.random.fold_in(key, i), (n,))
+        h = jax.random.normal(jax.random.fold_in(key, 100 + i), (n,))
+        st = dense.update(st, v, h, step=0.1)  # XLA path on CPU
+    v = jax.random.normal(jax.random.fold_in(key, 9), (n,))
+    h = jax.random.normal(jax.random.fold_in(key, 10), (n,))
+    g = jax.random.normal(jax.random.fold_in(key, 11), (n,))
+    ref = dense.update(st, v, h, step=0.05)
+    pre_ref = dense.apply(ref, g)
+    got_q, got_pre = dense_big.fused_update_apply(
+        st.Q, v, h, g, 0.05, TINY, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref.Q), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got_pre), np.asarray(pre_ref), rtol=2e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("n", [96, 250])
+def test_fused_dense_update_apply_matches_sequence(n):
+    """dense_upd.fused_update_apply (single launch) == sequence."""
+    key = jax.random.PRNGKey(22)
+    q = _triu_mat(KEY, n, diag=0.5, noise=0.02)
+    v = jax.random.normal(jax.random.fold_in(key, 5), (n,))
+    h = jax.random.normal(jax.random.fold_in(key, 6), (n,))
+    g = jax.random.normal(jax.random.fold_in(key, 7), (n,))
+    ref = dense.update(dense.DenseState(Q=q), v, h, 0.1)
+    pre_ref = dense.apply(ref, g)
+    got_q, got_pre = dense_upd.fused_update_apply(
+        q, v, h, g, 0.1, TINY, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref.Q), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_pre), np.asarray(pre_ref), rtol=2e-5, atol=1e-4)
