@@ -297,50 +297,72 @@ def update_multi(
     step: jax.Array | float = 0.01,
     key: jax.Array | None = None,
 ) -> list[KronState]:
-    """Element-wise `update` over a layer list, with every eligible
-    (dense, dense) member updated in ONE fused launch.
+    """Element-wise `update` over a layer list, with every eligible member
+    — ANY supported format pair — updated in ONE fused launch.
 
-    Per-layer launches serialize their latency chains (each fused dd
-    update is ~30 dependent MXU ops); the multi kernel emits all layers in
-    one launch and hoists every diagonal-block inversion into a single
-    batched Newton chain (ops/pallas/kron_dd.fused_update_multi — measured
-    1.7x on LeNet5's 5-layer zoo). Identical per-layer numerics to
-    `update`; non-(dense,dense) / non-fp32 / oversized layers fall through
-    to `update` unchanged."""
+    Per-layer launches serialize their latency chains (each fused update
+    is tens of dependent MXU ops); the heterogeneous multi kernel
+    (ops/pallas/kron_multi.py) emits all layers in one launch and hoists
+    every diagonal-block inversion across ALL layers into a single batched
+    Newton chain (measured 1.7x on LeNet5's dd-only zoo; NMT's mixed zoo
+    gains the same structure). Mirror formats transpose in here, exactly
+    as `update` does. Identical per-layer numerics to `update`; non-fp32 /
+    oversized layers fall through to `update` unchanged."""
     del key
     from psgd_tf_tpu.ops import pallas as pallas_ops
+    from psgd_tf_tpu.ops.pallas import kron_multi, kron_sparse
 
     states = list(states)
     if not (len(states) == len(dXs) == len(dGs)):
         raise ValueError("states/dXs/dGs length mismatch")
-    eligible = (
-        [
-            i
-            for i, st in enumerate(states)
-            if st.fmt == ("dense", "dense")
-            and jnp.result_type(st.ql) == jnp.float32
-            and max(dXs[i].shape) <= pallas_ops.kron_dd.MAX_SIDE
-        ]
-        if pallas_ops.kernels_active()
-        else []
-    )
+
+    canon = {  # fmt -> (kind, mirrored) — mirrors per ref :86, :102, :104
+        ("dense", "dense"): ("dd", False),
+        ("norm", "dense"): ("nd", False),
+        ("dense", "norm"): ("nd", True),
+        ("dense", "scale"): ("ds", False),
+        ("scale", "dense"): ("ds", True),
+        ("norm", "scale"): ("ns", False),
+        ("scale", "norm"): ("ns", True),
+    }
+
+    eligible: list[int] = []
+    entries: list[tuple] = []  # (kind, mirrored, a, b, dx, dg)
+    if pallas_ops.kernels_active():
+        for i, st in enumerate(states):
+            if jnp.result_type(st.ql) != jnp.float32:
+                continue
+            kind, mirrored = canon[st.fmt]
+            a, b = (st.qr, st.ql) if mirrored else (st.ql, st.qr)
+            dx = dXs[i].T if mirrored else dXs[i]
+            dg = dGs[i].T if mirrored else dGs[i]
+            if kind == "dd":
+                ok = max(dx.shape) <= pallas_ops.kron_dd.MAX_SIDE
+            else:
+                ok = kron_sparse.fits(*dx.shape)
+            if ok:
+                eligible.append(i)
+                entries.append((kind, mirrored, a, b, dx, dg))
+
     out: list = [None] * len(states)
     if len(eligible) >= 2:
         t = linalg.tiny(jnp.float32)
         s = jnp.asarray(step, jnp.float32)
-        nqls, nqrs = pallas_ops.replicated_call(
-            lambda qls, qrs, xs, gs, sv: pallas_ops.kron_dd.fused_update_multi(
-                qls, qrs, xs, gs, sv, t,
+        kinds = tuple(e[0] for e in entries)
+        res = pallas_ops.replicated_call(
+            lambda qls, qrs, xs, gs, sv: kron_multi.fused_update_multi(
+                kinds, qls, qrs, xs, gs, sv, t,
                 interpret=pallas_ops.interpret_default(),
             ),
-            tuple(states[i].ql for i in eligible),
-            tuple(states[i].qr for i in eligible),
-            tuple(dXs[i] for i in eligible),
-            tuple(dGs[i] for i in eligible),
+            tuple(e[2] for e in entries),
+            tuple(e[3] for e in entries),
+            tuple(e[4] for e in entries),
+            tuple(e[5] for e in entries),
             s,
         )
-        for j, i in enumerate(eligible):
-            out[i] = states[i].replace(ql=nqls[j], qr=nqrs[j])
+        for (kind, mirrored, *_), i, (na, nb) in zip(entries, eligible, res):
+            ql, qr = (nb, na) if mirrored else (na, nb)
+            out[i] = states[i].replace(ql=ql, qr=qr)
     for i in range(len(states)):
         if out[i] is None:
             out[i] = update(states[i], dXs[i], dGs[i], step)
@@ -348,27 +370,35 @@ def update_multi(
 
 
 def _sparse_dispatch(kind, xla_fn, a, b, dX, dG, s, t):
-    """Route a sparse-format pair update to its one-launch fused kernel
-    (ops/pallas/kron_sparse.py) when active, else the XLA path."""
+    """Route a sparse-format pair update to its fused kernel when active:
+    one-launch VMEM-resident (ops/pallas/kron_sparse.py) at small probe
+    sizes, gridded HBM-streaming (ops/pallas/kron_sparse_big.py) up to the
+    reference's capacity envelope (ref README.md:54), else the XLA path."""
     from psgd_tf_tpu.ops import pallas as pallas_ops
-    from psgd_tf_tpu.ops.pallas import kron_sparse
+    from psgd_tf_tpu.ops.pallas import kron_sparse, kron_sparse_big
 
-    if (
-        pallas_ops.kernels_active()
-        and jnp.result_type(a) == jnp.float32
-        and kron_sparse.fits(*dX.shape)
-    ):
-        fn = {
-            "ns": kron_sparse.fused_update_ns,
-            "ds": kron_sparse.fused_update_ds,
-            "nd": kron_sparse.fused_update_nd,
-        }[kind]
-        return pallas_ops.replicated_call(
-            lambda *args: fn(
-                *args, t, interpret=pallas_ops.interpret_default()
-            ),
-            a, b, dX, dG, s,
-        )
+    if pallas_ops.kernels_active() and jnp.result_type(a) == jnp.float32:
+        if kron_sparse.fits(*dX.shape):
+            fn = {
+                "ns": kron_sparse.fused_update_ns,
+                "ds": kron_sparse.fused_update_ds,
+                "nd": kron_sparse.fused_update_nd,
+            }[kind]
+        elif kron_sparse_big.fits_grid(kind, *dX.shape):
+            fn = {
+                "ns": kron_sparse_big.fused_update_ns,
+                "ds": kron_sparse_big.fused_update_ds,
+                "nd": kron_sparse_big.fused_update_nd,
+            }[kind]
+        else:
+            fn = None
+        if fn is not None:
+            return pallas_ops.replicated_call(
+                lambda *args: fn(
+                    *args, t, interpret=pallas_ops.interpret_default()
+                ),
+                a, b, dX, dG, s,
+            )
     return xla_fn(a, b, dX, dG, s, t)
 
 

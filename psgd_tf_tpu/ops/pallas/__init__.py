@@ -117,11 +117,11 @@ def replicated_call(fn, *args):
     )(*args)
 
 
-from psgd_tf_tpu.ops.pallas import dense_big, dense_upd, kron_dd, kron_sparse, lra_upd, splu_one, splu_upd, tri  # noqa: E402
+from psgd_tf_tpu.ops.pallas import dense_big, dense_upd, kron_dd, kron_multi, kron_sparse, kron_sparse_big, lra_upd, splu_one, splu_upd, tri  # noqa: E402
 
 __all__ = [
     "enabled", "disabled", "sharding", "shard_ctx", "interpret_default",
     "kernels_active", "replicated_call",
-    "tri", "kron_dd", "kron_sparse", "dense_upd", "dense_big", "lra_upd",
-    "splu_one", "splu_upd",
+    "tri", "kron_dd", "kron_multi", "kron_sparse", "kron_sparse_big",
+    "dense_upd", "dense_big", "lra_upd", "splu_one", "splu_upd",
 ]

@@ -132,105 +132,123 @@ def _dense_triu_update(A, Bt, Q, step, tiny):
     return Q - s * _dot(grad, Q)
 
 
+# Each pair is split into a `_prep_*` (balance + the diagonal blocks its
+# solves need inverted) and a `_finish_*` (everything after inversion), so
+# the heterogeneous multi-layer launch (kron_multi.py) can hoist ALL
+# layers' Newton inversions into ONE batched chain — the same latency rule
+# as kron_dd (Mosaic does not interleave independent dependency chains).
+
 # ----------------------------------------------------------- (norm, scale)
 
-def _kernel_ns(ql0_ref, ql1_ref, qr_ref, dx_ref, dg_ref, s_ref,
-               new0_ref, new1_ref, newqr_ref, *, m, n, mp, np_, tiny):
-    ql0c = ql0_ref[:]
-    ql1c = ql1_ref[:]
-    qr = qr_ref[:]
+def _prep_ns(ql0c, ql1c, qr, m, n, mp, np_):
+    """Balance (ref :341-346); no solve blocks (closed-form arrow inverse)."""
     rowv = _row_iota(mp) < m
     colv = _col_iota(np_) < n
-
-    # balance (ref :341-346)
     rho = jnp.sqrt(_masked_max(ql0c, rowv) / _masked_max(qr, colv))
     ql0c = jnp.where(rowv, ql0c / rho, 1.0)
     ql1c = ql1c / rho
     qr = jnp.where(colv, rho * qr, 1.0)
+    return (ql0c, ql1c, qr), []
 
-    A = _arrow_A(ql0c, ql1c, dg_ref[:], m, mp) * qr
-    Bt = _arrow_invT(ql0c, ql1c, dx_ref[:], m, mp) / qr
 
-    step = s_ref[0, 0]
+def _finish_ns(ql0c, ql1c, qr, dx, dg, invs, step, *, m, n, mp, np_, tiny):
+    A = _arrow_A(ql0c, ql1c, dg, m, mp) * qr
+    Bt = _arrow_invT(ql0c, ql1c, dx, m, mp) / qr
     diag, bias = _arrow_grads(A, Bt, m, mp)
     new0, new1 = _arrow_apply_update(ql0c, ql1c, diag, bias, step, tiny, m, mp)
-    new0_ref[:] = new0
-    new1_ref[:] = new1
-    newqr_ref[:] = _scale_update(A, Bt, qr, step, tiny, n, np_)
+    return new0, new1, _scale_update(A, Bt, qr, step, tiny, n, np_)
+
+
+def _kernel_ns(ql0_ref, ql1_ref, qr_ref, dx_ref, dg_ref, s_ref,
+               new0_ref, new1_ref, newqr_ref, *, m, n, mp, np_, tiny):
+    (ql0c, ql1c, qr), _ = _prep_ns(
+        ql0_ref[:], ql1_ref[:], qr_ref[:], m, n, mp, np_
+    )
+    new0_ref[:], new1_ref[:], newqr_ref[:] = _finish_ns(
+        ql0c, ql1c, qr, dx_ref[:], dg_ref[:], [], s_ref[0, 0],
+        m=m, n=n, mp=mp, np_=np_, tiny=tiny,
+    )
 
 
 # ----------------------------------------------------------- (dense, scale)
 
-def _kernel_ds(ql_ref, qr_ref, dx_ref, dg_ref, s_ref,
-               newql_ref, newqr_ref, *, m, n, mp, np_, tiny):
-    Ql = ql_ref[:]
-    qr = qr_ref[:]
+def _eye_mask(p):
+    return jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (p, p), 1), 1.0, 0.0
+    )
+
+
+def _prep_ds(Ql, qr, m, n, mp, np_):
     rowv = _row_iota(mp) < m
     colv = _col_iota(np_) < n
-
-    diagQl = jnp.sum(Ql * jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 1), 1.0, 0.0
-    ), axis=1, keepdims=True)
+    eye = _eye_mask(mp)
+    diagQl = jnp.sum(Ql * eye, axis=1, keepdims=True)
     rho = jnp.sqrt(_masked_max(diagQl, rowv) / _masked_max(qr, colv))
     eye_rows = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 0) >= m
-    eye = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 1), 1.0, 0.0
-    )
     Ql = jnp.where(eye_rows, eye, Ql / rho)  # keep identity pad exact
     qr = jnp.where(colv, rho * qr, 1.0)
+    return (Ql, qr), _diag_blocks_t(Ql, mp)
 
-    A = _dot(Ql, dg_ref[:]) * qr
-    invs_t = tri_mod._newton_inv_batched(jnp.stack(_diag_blocks_t(Ql, mp)))
-    Bt = _left_solve_t(
-        Ql, dx_ref[:], mp // BS, [invs_t[i] for i in range(mp // BS)]
-    ) / qr
 
-    step = s_ref[0, 0]
-    newql_ref[:] = _dense_triu_update(A, Bt, Ql, step, tiny)
-    newqr_ref[:] = _scale_update(A, Bt, qr, step, tiny, n, np_)
+def _finish_ds(Ql, qr, dx, dg, invs_t, step, *, m, n, mp, np_, tiny):
+    A = _dot(Ql, dg) * qr
+    Bt = _left_solve_t(Ql, dx, mp // BS, invs_t) / qr
+    return (
+        _dense_triu_update(A, Bt, Ql, step, tiny),
+        _scale_update(A, Bt, qr, step, tiny, n, np_),
+    )
+
+
+def _kernel_ds(ql_ref, qr_ref, dx_ref, dg_ref, s_ref,
+               newql_ref, newqr_ref, *, m, n, mp, np_, tiny):
+    (Ql, qr), blocks = _prep_ds(ql_ref[:], qr_ref[:], m, n, mp, np_)
+    invs = tri_mod._newton_inv_batched(jnp.stack(blocks))
+    newql_ref[:], newqr_ref[:] = _finish_ds(
+        Ql, qr, dx_ref[:], dg_ref[:],
+        [invs[i] for i in range(mp // BS)], s_ref[0, 0],
+        m=m, n=n, mp=mp, np_=np_, tiny=tiny,
+    )
 
 
 # ----------------------------------------------------------- (norm, dense)
 
-def _kernel_nd(ql0_ref, ql1_ref, qr_ref, dx_ref, dg_ref, s_ref,
-               new0_ref, new1_ref, newqr_ref, *, m, n, mp, np_, tiny):
-    ql0c = ql0_ref[:]
-    ql1c = ql1_ref[:]
-    Qr = qr_ref[:]
+def _prep_nd(ql0c, ql1c, Qr, m, n, mp, np_):
     rowv = _row_iota(mp) < m
-
-    diagQr = jnp.sum(Qr * jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1), 1.0, 0.0
-    ), axis=1, keepdims=True)
+    eye = _eye_mask(np_)
+    diagQr = jnp.sum(Qr * eye, axis=1, keepdims=True)
     colv = _row_iota(np_) < n
     rho = jnp.sqrt(_masked_max(ql0c, rowv) / _masked_max(diagQr, colv))
     ql0c = jnp.where(rowv, ql0c / rho, 1.0)
     ql1c = ql1c / rho
     eye_rows = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0) >= n
-    eye = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1), 1.0, 0.0
-    )
     Qr = jnp.where(eye_rows, eye, rho * Qr)
+    return (ql0c, ql1c, Qr), _diag_blocks_plain(Qr, np_)
 
-    A = _dott(_arrow_A(ql0c, ql1c, dg_ref[:], m, mp), Qr)   # Ql dG Qr^T
-    invs = tri_mod._newton_inv_batched(jnp.stack(_diag_blocks_plain(Qr, np_)))
+
+def _finish_nd(ql0c, ql1c, Qr, dx, dg, invs, step, *, m, n, mp, np_, tiny):
+    A = _dott(_arrow_A(ql0c, ql1c, dg, m, mp), Qr)   # Ql dG Qr^T
     Bt = _right_solve(
-        Qr, _arrow_invT(ql0c, ql1c, dx_ref[:], m, mp), np_ // BS,
-        [invs[j] for j in range(np_ // BS)],
+        Qr, _arrow_invT(ql0c, ql1c, dx, m, mp), np_ // BS, invs
     )
-
-    step = s_ref[0, 0]
     diag, bias = _arrow_grads(A, Bt, m, mp)
     new0, new1 = _arrow_apply_update(ql0c, ql1c, diag, bias, step, tiny, m, mp)
-    new0_ref[:] = new0
-    new1_ref[:] = new1
     grad2 = _triu_mask(_tdot(A, A) - _tdot(Bt, Bt))
     s2 = step / (jnp.max(jnp.abs(grad2)) + tiny)
-    newqr_ref[:] = Qr - s2 * _dot(grad2, Qr)
+    return new0, new1, Qr - s2 * _dot(grad2, Qr)
+
+
+def _kernel_nd(ql0_ref, ql1_ref, qr_ref, dx_ref, dg_ref, s_ref,
+               new0_ref, new1_ref, newqr_ref, *, m, n, mp, np_, tiny):
+    (ql0c, ql1c, Qr), blocks = _prep_nd(
+        ql0_ref[:], ql1_ref[:], qr_ref[:], m, n, mp, np_
+    )
+    invs = tri_mod._newton_inv_batched(jnp.stack(blocks))
+    new0_ref[:], new1_ref[:], newqr_ref[:] = _finish_nd(
+        ql0c, ql1c, Qr, dx_ref[:], dg_ref[:],
+        [invs[j] for j in range(np_ // BS)], s_ref[0, 0],
+        m=m, n=n, mp=mp, np_=np_, tiny=tiny,
+    )
 
 
 # ------------------------------------------------------------------ wrappers

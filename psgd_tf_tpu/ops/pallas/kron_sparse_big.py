@@ -1,0 +1,439 @@
+"""Gridded sparse-format Kronecker updates — reference capacity envelope.
+
+The resident kernels (kron_sparse.py) cap at 512x512 probes; the
+reference's own capacity table targets (norm, dense) to [1e6, 1e3] and
+(norm, scale) to [1e6, 1e6] (ref README.md:54) — embedding/vocab-scale
+layers whose probes must STREAM from HBM. The key structural facts this
+module exploits:
+
+  * A and Bt are invariant under the L/R balancing (Ql/rho, rho*Qr leaves
+    Ql dG Qr^T and Ql^{-T} dX Qr^{-1} unchanged), and the factor state is
+    O(m + n) (plus one small dense factor), so the O(mn) work is PURE
+    REDUCTION: one streaming pass over (dX, dG) emits every row-gradient,
+    column-gradient, bias, and dense-side Gram the update needs; the
+    factor rewrites are cheap XLA on the outputs.
+  * The arrow ("norm") factor's closed-form inverse couples every row into
+    the LAST row of Bt through corr_j = sum_i w_i dX_ij (ref :222-232).
+    corr is itself one of the streamed reductions; the last row's
+    contributions to the gradients are O(n) post-processing, EXCEPT the
+    bias term sum_j Bt_ij B_last_j, which needs one extra dX matvec after
+    corr is known (XLA, memory-bound). Total probe traffic: dG once, dX
+    twice — 3mn vs the 2mn lower bound; a single-pass schedule is
+    impossible because corr gates B_last which gates the bias reduction.
+  * Dense-side solves stream per panel against diagonal-block Newton
+    inverses computed ONCE into kernel scratch at grid step 0 (tri.py;
+    TPU has no trsm).
+
+The (dense, scale) pair has no arrow coupling and streams in ONE pass
+(2mn, the bound). Mirrors transpose in at the dispatch site
+(groups/kron.py) exactly as the resident kernels.
+
+Reference parity: _update_precond_{norm_dense,dense_scale,norm_scale},
+/root/reference/preconditioned_stochastic_gradient_descent.py:198-369.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from psgd_tf_tpu.ops import linalg
+from psgd_tf_tpu.ops.pallas import tri as tri_mod
+from psgd_tf_tpu.ops.pallas.tri import BS, VMEM_LIMIT
+
+MAX_LANES = 32768     # padded minor-axis cap for the streaming kernels
+MAX_DENSE = 1024      # dense-factor side cap (matches kron_dd.MAX_SIDE)
+PANEL_BYTES = 2 << 20  # target panel size per streamed input
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _blk_major(minor: int) -> int:
+    """Rows (or cols) per grid step: ~PANEL_BYTES fp32 panels, 8-aligned."""
+    b = PANEL_BYTES // (4 * minor)
+    return int(max(8, min(1024, (b // 8) * 8)))
+
+
+def _params():
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _dott(a, b):  # a @ b^T
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _tdot(a, b):  # a^T @ b
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def fits_grid(kind: str, m: int, n: int) -> bool:
+    """Shapes the streaming kernels accept (beyond kron_sparse.fits)."""
+    if kind == "ns":    # arrow rows stream; scale lanes resident
+        return _cdiv(n, 128) * 128 <= MAX_LANES
+    if kind == "nd":    # arrow rows stream; dense factor resident
+        return n <= MAX_DENSE
+    if kind == "ds":    # scale cols stream; dense factor resident
+        return m <= MAX_DENSE
+    raise ValueError(kind)
+
+
+# ---------------------------------------------------------------- (norm, *)
+
+def _kernel_ns_big(dx_ref, dg_ref, ql0_ref, ql1_ref, w_ref, qr_ref,
+                   dgl_ref, al_ref,
+                   diag_ref, biasa_ref, corr_ref, colsum_ref, *, m, blk):
+    i = pl.program_id(0)
+    rows = i * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+    mask = rows != (m - 1)  # last row's stats are patched in XLA post
+    dx = dx_ref[:]
+    dxm = jnp.where(mask, dx, 0.0)
+    dgm = jnp.where(mask, dg_ref[:], 0.0)
+    qr = qr_ref[:]
+    a = (ql0_ref[:] * dgm + ql1_ref[:] * dgl_ref[:]) * qr
+    bt = dxm / ql0_ref[:] / qr
+    d2 = a * a - bt * bt
+    diag_ref[:] = jnp.sum(d2, axis=1, keepdims=True)
+    biasa_ref[:] = jnp.sum(a * al_ref[:], axis=1, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        corr_ref[:] = jnp.zeros_like(corr_ref)
+        colsum_ref[:] = jnp.zeros_like(colsum_ref)
+
+    corr_ref[:] += jnp.sum(w_ref[:] * dx, axis=0, keepdims=True)
+    colsum_ref[:] += jnp.sum(d2, axis=0, keepdims=True)
+
+
+def _kernel_nd_big(dx_ref, dg_ref, ql0_ref, ql1_ref, w_ref, qr_ref,
+                   dgl_ref, al_ref,
+                   diag_ref, biasa_ref, corr_ref, grama_ref, gramb_ref,
+                   invs_ref, *, m, blk, nbq):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        # diagonal-block Newton inverses of Qr, once per launch
+        invs_ref[:] = tri_mod._newton_inv_batched(
+            jnp.stack([
+                qr_ref[j * BS:(j + 1) * BS, j * BS:(j + 1) * BS]
+                for j in range(nbq)
+            ])
+        )
+        corr_ref[:] = jnp.zeros_like(corr_ref)
+        grama_ref[:] = jnp.zeros_like(grama_ref)
+        gramb_ref[:] = jnp.zeros_like(gramb_ref)
+
+    rows = i * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+    mask = rows != (m - 1)
+    dx = dx_ref[:]
+    dxm = jnp.where(mask, dx, 0.0)
+    dgm = jnp.where(mask, dg_ref[:], 0.0)
+    qr = qr_ref[:]
+
+    a = _dott(ql0_ref[:] * dgm + ql1_ref[:] * dgl_ref[:], qr)  # ... @ Qr^T
+    # bt = (dxm / ql0) @ Qr^{-1}: forward block substitution over columns
+    btm = dxm / ql0_ref[:]
+    cols = []
+    for j in range(nbq):
+        acc = btm[:, j * BS:(j + 1) * BS]
+        for k in range(j):
+            acc = acc - jnp.dot(
+                cols[k], qr[k * BS:(k + 1) * BS, j * BS:(j + 1) * BS],
+                preferred_element_type=jnp.float32,
+                precision=tri_mod.SOLVE_PRECISION,
+            )
+        cols.append(jnp.dot(
+            acc, invs_ref[j],
+            preferred_element_type=jnp.float32,
+            precision=tri_mod.SOLVE_PRECISION,
+        ))
+    bt = jnp.concatenate(cols, axis=1) if nbq > 1 else cols[0]
+
+    diag_ref[:] = jnp.sum(a * a - bt * bt, axis=1, keepdims=True)
+    biasa_ref[:] = jnp.sum(a * al_ref[:], axis=1, keepdims=True)
+    corr_ref[:] += jnp.sum(w_ref[:] * dx, axis=0, keepdims=True)
+    grama_ref[:] += _tdot(a, a)
+    gramb_ref[:] += _tdot(bt, bt)
+
+
+def _norm_post(ql0, ql1, diag, bias, grad2_mx, step, tiny, qr_is_scale,
+               qr, grad2):
+    """Shared arrow + right-factor rewrites (identical to groups/kron.py's
+    _update_ns/_update_nd tails)."""
+    step1 = step / (jnp.maximum(jnp.max(jnp.abs(diag)),
+                                jnp.max(jnp.abs(bias))) + tiny)
+    new0 = ql0 - step1 * diag * ql0
+    new1 = ql1 - step1 * (diag * ql1 + ql0[-1] * bias)
+    step2 = step / (grad2_mx + tiny)
+    if qr_is_scale:
+        newqr = qr - step2 * grad2 * qr
+    else:
+        newqr = qr - step2 * (grad2 @ qr)
+    return jnp.stack([new0, new1]), newqr
+
+
+def _pad_cols(x, np_, fill=0.0):
+    n = x.shape[-1]
+    if n == np_:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, np_ - n)]
+    return jnp.pad(x, pad, constant_values=fill)
+
+
+def _pad_rows_blk(x, mp, fill=0.0):
+    m = x.shape[0]
+    if m == mp:
+        return x
+    return jnp.pad(x, [(0, mp - m)] + [(0, 0)] * (x.ndim - 1),
+                   constant_values=fill)
+
+
+@functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
+def fused_update_ns(ql, qr, dX, dG, step, tiny: float,
+                    interpret: bool = False):
+    """(norm, scale) streaming update for arbitrary m; ql: (2, m), qr: (n,).
+
+    One gridded pass over (dX, dG) + one XLA dX matvec (see module
+    docstring for why the bias term forces it)."""
+    f32 = jnp.float32
+    m, n = dX.shape
+    np_ = _cdiv(n, 128) * 128
+    blk = _blk_major(np_)
+    mp = _cdiv(m, blk) * blk
+    step = jnp.asarray(step, f32)
+
+    # balance (ref :341-346)
+    rho = jnp.sqrt(jnp.max(ql[0]) / jnp.max(qr))
+    ql = ql / rho
+    qr_b = rho * qr
+    ql0, ql1 = ql[0], ql[1]
+
+    dX_last, dG_last = dX[-1], dG[-1]
+    A_last = ql0[-1] * dG_last * qr_b                     # (n,)
+    w = ql1 / (ql0 * ql0[-1])                             # w[-1] = 0
+
+    row1 = lambda x, fill: _pad_cols(x[None, :], np_, fill)
+    colb = lambda x, fill: _pad_rows_blk(x[:, None], mp, fill)
+    rowspec = pl.BlockSpec((blk, np_), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vecspec = pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+    diag0, biasa, corr, colsum = pl.pallas_call(
+        functools.partial(_kernel_ns_big, m=m, blk=blk),
+        grid=(mp // blk,),
+        in_specs=[rowspec, rowspec, vecspec, vecspec, vecspec,
+                  rep((1, np_)), rep((1, np_)), rep((1, np_))],
+        out_specs=(vecspec, vecspec, rep((1, np_)), rep((1, np_))),
+        out_shape=(
+            jax.ShapeDtypeStruct((mp, 1), f32),
+            jax.ShapeDtypeStruct((mp, 1), f32),
+            jax.ShapeDtypeStruct((1, np_), f32),
+            jax.ShapeDtypeStruct((1, np_), f32),
+        ),
+        interpret=interpret,
+        compiler_params=_params(),
+    )(
+        _pad_rows_blk(_pad_cols(dX, np_), mp),
+        _pad_rows_blk(_pad_cols(dG, np_), mp),
+        colb(ql0, 1.0), colb(ql1, 0.0), colb(w, 0.0),
+        row1(qr_b, 1.0), row1(dG_last, 0.0), row1(A_last, 0.0),
+    )
+
+    corr = corr[0, :n]
+    B_last = (dX_last / ql0[-1] - corr) / qr_b
+    diag = diag0[:m, 0].at[m - 1].set(jnp.sum(A_last**2 - B_last**2))
+    btdot = (dX @ (B_last / qr_b)) / ql0                  # the second dX pass
+    bias = (biasa[:m, 0] - btdot).at[m - 1].set(0.0)
+    grad2 = colsum[0, :n] + A_last**2 - B_last**2
+    return _norm_post(ql0, ql1, diag, bias, jnp.max(jnp.abs(grad2)),
+                      step, tiny, True, qr_b, grad2)
+
+
+@functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
+def fused_update_nd(ql, Qr, dX, dG, step, tiny: float,
+                    interpret: bool = False):
+    """(norm, dense) streaming update for arbitrary m; ql: (2, m),
+    Qr: (n, n) upper-tri with n <= MAX_DENSE."""
+    f32 = jnp.float32
+    m, n = dX.shape
+    np_ = _cdiv(n, BS) * BS
+    blk = _blk_major(np_)
+    mp = _cdiv(m, blk) * blk
+    nbq = np_ // BS
+    step = jnp.asarray(step, f32)
+
+    rho = jnp.sqrt(jnp.max(ql[0]) / jnp.max(jnp.diagonal(Qr)))
+    ql = ql / rho
+    Qr_b = rho * Qr
+    ql0, ql1 = ql[0], ql[1]
+
+    Qrp = Qr_b
+    if np_ > n:
+        Qrp = jnp.zeros((np_, np_), f32).at[:n, :n].set(Qr_b)
+        Qrp = Qrp + jnp.diag(jnp.concatenate(
+            [jnp.zeros((n,), f32), jnp.ones((np_ - n,), f32)]
+        ))
+
+    dX_last, dG_last = dX[-1], dG[-1]
+    A_last = ql0[-1] * (dG_last @ Qr_b.T)                 # (n,)
+    w = ql1 / (ql0 * ql0[-1])
+
+    row1 = lambda x, fill: _pad_cols(x[None, :], np_, fill)
+    colb = lambda x, fill: _pad_rows_blk(x[:, None], mp, fill)
+    rowspec = pl.BlockSpec((blk, np_), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vecspec = pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+    diag0, biasa, corr, grama, gramb = pl.pallas_call(
+        functools.partial(_kernel_nd_big, m=m, blk=blk, nbq=nbq),
+        grid=(mp // blk,),
+        in_specs=[rowspec, rowspec, vecspec, vecspec, vecspec,
+                  rep((np_, np_)), rep((1, np_)), rep((1, np_))],
+        out_specs=(vecspec, vecspec, rep((1, np_)),
+                   rep((np_, np_)), rep((np_, np_))),
+        out_shape=(
+            jax.ShapeDtypeStruct((mp, 1), f32),
+            jax.ShapeDtypeStruct((mp, 1), f32),
+            jax.ShapeDtypeStruct((1, np_), f32),
+            jax.ShapeDtypeStruct((np_, np_), f32),
+            jax.ShapeDtypeStruct((np_, np_), f32),
+        ),
+        scratch_shapes=[pltpu.VMEM((nbq, BS, BS), f32)],
+        interpret=interpret,
+        compiler_params=_params(),
+    )(
+        _pad_rows_blk(_pad_cols(dX, np_), mp),
+        _pad_rows_blk(_pad_cols(dG, np_), mp),
+        colb(ql0, 1.0), colb(ql1, 0.0), colb(w, 0.0),
+        Qrp, row1(dG_last, 0.0), row1(A_last, 0.0),
+    )
+
+    corr = corr[0, :n]
+    z = dX_last / ql0[-1] - corr
+    B_last = linalg.solve_ut_t(Qr_b, z)                   # z @ Qr^{-1}
+    diag = diag0[:m, 0].at[m - 1].set(jnp.sum(A_last**2 - B_last**2))
+    y = linalg.solve_ut(Qr_b, B_last)                     # Qr^{-1} B_last^T
+    btdot = (dX @ y) / ql0
+    bias = (biasa[:m, 0] - btdot).at[m - 1].set(0.0)
+    grad2 = linalg.triu(
+        grama[:n, :n] - gramb[:n, :n]
+        + jnp.outer(A_last, A_last) - jnp.outer(B_last, B_last)
+    )
+    return _norm_post(ql0, ql1, diag, bias, jnp.max(jnp.abs(grad2)),
+                      step, tiny, False, Qr_b, grad2)
+
+
+# ------------------------------------------------------------ (dense, scale)
+
+def _kernel_ds_big(dx_ref, dg_ref, ql_ref, qr_ref,
+                   grad2_ref, grama_ref, gramb_ref, invs_ref, *, nbq):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        invs_ref[:] = tri_mod._newton_inv_batched(
+            jnp.stack([
+                ql_ref[i * BS:(i + 1) * BS, i * BS:(i + 1) * BS].T
+                for i in range(nbq)
+            ])
+        )
+        grama_ref[:] = jnp.zeros_like(grama_ref)
+        gramb_ref[:] = jnp.zeros_like(gramb_ref)
+
+    ql = ql_ref[:]
+    qr = qr_ref[:]
+    a = _dot(ql, dg_ref[:]) * qr
+    # bt = Ql^{-T} dx / qr: forward block substitution over rows
+    dx = dx_ref[:]
+    rows = []
+    for i in range(nbq):
+        acc = dx[i * BS:(i + 1) * BS, :]
+        for k in range(i):
+            acc = acc - jnp.dot(
+                ql[k * BS:(k + 1) * BS, i * BS:(i + 1) * BS].T, rows[k],
+                preferred_element_type=jnp.float32,
+                precision=tri_mod.SOLVE_PRECISION,
+            )
+        rows.append(jnp.dot(
+            invs_ref[i], acc,
+            preferred_element_type=jnp.float32,
+            precision=tri_mod.SOLVE_PRECISION,
+        ))
+    bt = (jnp.concatenate(rows, axis=0) if nbq > 1 else rows[0]) / qr
+
+    grad2_ref[:] = jnp.sum(a * a - bt * bt, axis=0, keepdims=True)
+    grama_ref[:] += _dott(a, a)
+    gramb_ref[:] += _dott(bt, bt)
+
+
+@functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
+def fused_update_ds(Ql, qr, dX, dG, step, tiny: float,
+                    interpret: bool = False):
+    """(dense, scale) streaming update for arbitrary n; Ql: (m, m)
+    upper-tri with m <= MAX_DENSE, qr: (n,). ONE pass over the probes."""
+    f32 = jnp.float32
+    m, n = dX.shape
+    mp = _cdiv(m, BS) * BS
+    blk = _blk_major(mp)
+    np_ = _cdiv(n, blk) * blk
+    nbq = mp // BS
+    step = jnp.asarray(step, f32)
+
+    rho = jnp.sqrt(jnp.max(jnp.diagonal(Ql)) / jnp.max(qr))
+    Ql_b = Ql / rho
+    qr_b = rho * qr
+
+    Qlp = Ql_b
+    if mp > m:
+        Qlp = jnp.zeros((mp, mp), f32).at[:m, :m].set(Ql_b)
+        Qlp = Qlp + jnp.diag(jnp.concatenate(
+            [jnp.zeros((m,), f32), jnp.ones((mp - m,), f32)]
+        ))
+
+    colspec = pl.BlockSpec((mp, blk), lambda j: (0, j), memory_space=pltpu.VMEM)
+    rowblk = pl.BlockSpec((1, blk), lambda j: (0, j), memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+    grad2p, grama, gramb = pl.pallas_call(
+        functools.partial(_kernel_ds_big, nbq=nbq),
+        grid=(np_ // blk,),
+        in_specs=[colspec, colspec, rep((mp, mp)), rowblk],
+        out_specs=(rowblk, rep((mp, mp)), rep((mp, mp))),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, np_), f32),
+            jax.ShapeDtypeStruct((mp, mp), f32),
+            jax.ShapeDtypeStruct((mp, mp), f32),
+        ),
+        scratch_shapes=[pltpu.VMEM((nbq, BS, BS), f32)],
+        interpret=interpret,
+        compiler_params=_params(),
+    )(
+        _pad_cols(_pad_rows_blk(dX, mp), np_),
+        _pad_cols(_pad_rows_blk(dG, mp), np_),
+        Qlp, _pad_cols(qr_b[None, :], np_, 1.0),
+    )
+
+    grad1 = linalg.triu(grama[:m, :m] - gramb[:m, :m])
+    step1 = step / (jnp.max(jnp.abs(grad1)) + tiny)
+    grad2 = grad2p[0, :n]
+    step2 = step / (jnp.max(jnp.abs(grad2)) + tiny)
+    return Ql_b - step1 * (grad1 @ Ql_b), qr_b - step2 * grad2 * qr_b

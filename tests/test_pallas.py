@@ -390,3 +390,101 @@ def test_fused_dense_update_apply_matches_sequence(n):
     )
     np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref.Q), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_pre), np.asarray(pre_ref), rtol=2e-5, atol=1e-4)
+
+
+# --------------------------------------------- gridded sparse kron formats
+
+@pytest.mark.parametrize("fmt,shape", [
+    (("norm", "scale"), (700, 130)),     # beyond the resident 512-side cap
+    (("norm", "scale"), (1030, 257)),
+    (("norm", "dense"), (900, 70)),
+    (("norm", "dense"), (1500, 200)),
+    (("dense", "scale"), (130, 900)),
+    (("dense", "scale"), (260, 1500)),
+], ids=str)
+def test_gridded_sparse_kron_matches_xla_path(fmt, shape):
+    """kron_sparse_big streaming kernels vs the XLA oracle at shapes the
+    resident kernels reject (ref README.md:54 capacity envelope)."""
+    from psgd_tf_tpu.ops.pallas import kron_sparse, kron_sparse_big
+
+    kind = {"norm": "n", "dense": "d", "scale": "s"}
+    k = kind[fmt[0]] + kind[fmt[1]]
+    assert not kron_sparse.fits(*shape)
+    assert kron_sparse_big.fits_grid(k, *shape)
+    fn = {
+        "ns": kron_sparse_big.fused_update_ns,
+        "ds": kron_sparse_big.fused_update_ds,
+        "nd": kron_sparse_big.fused_update_nd,
+    }[k]
+    key = jax.random.PRNGKey(31)
+    st = kron.init(shape, fmt=fmt, init_scale=0.8)
+    for i in range(3):  # walk off identity (XLA path on CPU)
+        dX = jax.random.normal(jax.random.fold_in(key, i), shape)
+        dG = jax.random.normal(jax.random.fold_in(key, 100 + i), shape)
+        st = kron.update(st, dX, dG, step=0.05)
+    dX = jax.random.normal(jax.random.fold_in(key, 55), shape)
+    dG = jax.random.normal(jax.random.fold_in(key, 56), shape)
+    ref = kron.update(st, dX, dG, step=0.05)
+    got_l, got_r = fn(st.ql, st.qr, dX, dG, 0.05, TINY, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_l), np.asarray(ref.ql), rtol=5e-5, atol=5e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_r), np.asarray(ref.qr), rtol=5e-5, atol=5e-6
+    )
+
+
+def test_gridded_sparse_kron_arrow_convention_preserved():
+    """ql[1, -1] stays exactly 0 through the streaming (norm, scale) and
+    (norm, dense) updates."""
+    from psgd_tf_tpu.ops.pallas import kron_sparse_big
+
+    key = jax.random.PRNGKey(33)
+    for fmt, fn, shape in [
+        (("norm", "scale"), kron_sparse_big.fused_update_ns, (600, 96)),
+        (("norm", "dense"), kron_sparse_big.fused_update_nd, (600, 64)),
+    ]:
+        st = kron.init(shape, fmt=fmt, init_scale=0.7)
+        dX = jax.random.normal(jax.random.fold_in(key, 1), shape)
+        dG = jax.random.normal(jax.random.fold_in(key, 2), shape)
+        ql, qr = fn(st.ql, st.qr, dX, dG, 0.1, TINY, interpret=True)
+        assert float(ql[1, -1]) == 0.0
+
+
+def test_kron_update_multi_mixed_formats_one_launch():
+    """The heterogeneous multi path (kron_multi) covers EVERY supported
+    format pair, mirrors included, and matches element-wise kron.update."""
+    from psgd_tf_tpu.ops import pallas as pallas_ops
+
+    shapes = [(26, 6), (100, 40), (40, 100), (64, 33), (33, 64),
+              (50, 20), (20, 50)]
+    fmts = [("dense", "dense"), ("norm", "dense"), ("dense", "norm"),
+            ("dense", "scale"), ("scale", "dense"),
+            ("norm", "scale"), ("scale", "norm")]
+    states, dxs, dgs = [], [], []
+    for i, ((m, n), fmt) in enumerate(zip(shapes, fmts)):
+        k = jax.random.fold_in(KEY, 60 + i)
+        st = kron.init((m, n), fmt=fmt, init_scale=0.8)
+        for j in range(2):  # walk off identity (XLA path on CPU)
+            dx = jax.random.normal(jax.random.fold_in(k, 10 + j), (m, n))
+            dg = jax.random.normal(jax.random.fold_in(k, 20 + j), (m, n))
+            st = kron.update(st, dx, dg, step=0.05)
+        states.append(st)
+        dxs.append(jax.random.normal(jax.random.fold_in(k, 2), (m, n)))
+        dgs.append(jax.random.normal(jax.random.fold_in(k, 3), (m, n)))
+    ref = [
+        kron.update(st, dx, dg, step=0.1)
+        for st, dx, dg in zip(states, dxs, dgs)
+    ]  # XLA path (pallas off on CPU)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("shard",))
+    with pallas_ops.sharding(mesh):  # kernels_active() on CPU, interpreted
+        got = kron.update_multi(states, dxs, dgs, step=0.1)
+    for g, r, fmt in zip(got, ref, fmts):
+        np.testing.assert_allclose(
+            np.asarray(g.ql), np.asarray(r.ql), rtol=2e-5, atol=2e-6,
+            err_msg=str(fmt),
+        )
+        np.testing.assert_allclose(
+            np.asarray(g.qr), np.asarray(r.qr), rtol=2e-5, atol=2e-6,
+            err_msg=str(fmt),
+        )
