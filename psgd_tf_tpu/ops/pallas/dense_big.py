@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from psgd_tf_tpu.ops.pallas import tri as tri_mod
-from psgd_tf_tpu.ops.pallas.tri import VMEM_LIMIT, _newton_inv
+from psgd_tf_tpu.ops.pallas.tri import VMEM_LIMIT
 
 BLK = 256        # panel height/width (rows per grid step)
 MAX_N = 16384    # (BLK, n) panels at n=16k are 16MB — a few fit in VMEM
@@ -64,36 +64,46 @@ def _params():
 
 # ---------------- stage AB: a = Q h and solve Q^T b = v in ONE pass over Q
 
-def _probe_kernel(q_ref, v_ref, h_ref, b_ref, a_ref, bscr_ref, *, nb):
+def _probe_kernel(q_ref, vrow_ref, h_ref, diags_ref, b_ref, a_ref,
+                  bscr_ref, invs_ref, *, nb):
     """Grid step j over column panels.
 
     a: a += Q[:, jcols] @ h_j — accumulated in the (n, 1) output block
     (constant index map keeps it VMEM-resident across steps).
-    b: b_j = inv(Q_jj^T) (v_j - Q[:, jcols]^T b_prefix); bscr holds b so
-    far (zeros ahead of the frontier), so the panel^T-matvec needs no
-    masking."""
+    b (ROW form): solving b Q = v by forward substitution over block
+    columns — b_j = (v_j - b_prefix @ Q[:, jcols]) inv(Q_jj), equivalent
+    to Q^T b^T = v^T. The row layout keeps every step a natural
+    (1, K) @ (K, BLK) vec-mat; the original column form contracted the
+    SUBLANE axis of the panel ((np, BLK)^T @ (np, 1)), which Mosaic
+    served with a per-step panel transpose — measured 908 us for this
+    stage alone at n=4096 vs ~100 us of HBM traffic.
+
+    ALL diagonal-block inversions run as ONE batched Newton chain at step
+    0 (tri._newton_inv_batched on the pre-gathered diags input) — a
+    per-step _newton_inv puts 2*ceil(log2(BLK)) dependent matmuls inside
+    every grid step, nb of them back to back: a latency critical path."""
     j = pl.program_id(0)
 
     @pl.when(j == 0)
     def _():
         bscr_ref[:] = jnp.zeros_like(bscr_ref)
         a_ref[:] = jnp.zeros_like(a_ref)
+        invs_ref[:] = tri_mod._newton_inv_batched(diags_ref[:])
 
     q = q_ref[:]
     a_ref[:] += jnp.dot(q, h_ref[:], preferred_element_type=jnp.float32)
 
-    acc = v_ref[:] - jax.lax.dot_general(
-        q, bscr_ref[:], (((0,), (0,)), ((), ())),
+    acc = vrow_ref[:] - jnp.dot(
+        bscr_ref[:], q,
         preferred_element_type=jnp.float32,
         precision=tri_mod.SOLVE_PRECISION,
     )
-    qjj = q_ref[pl.dslice(j * BLK, BLK), :]
     bj = jnp.dot(
-        _newton_inv(qjj.T, BLK), acc,
+        acc, invs_ref[j],
         preferred_element_type=jnp.float32,
         precision=tri_mod.SOLVE_PRECISION,
     )
-    bscr_ref[pl.dslice(j * BLK, BLK), :] = bj
+    bscr_ref[0, pl.dslice(j * BLK, BLK)] = bj[0]
     b_ref[:] = bj
 
 
@@ -197,20 +207,31 @@ def _stages(q, v, h, step, tiny, interpret, g=None):
     full_col = rep((np_, 1))
     full_row = rep((1, np_))
 
+    # diagonal blocks for the row-form solve, gathered in XLA (tiny);
+    # inverted in ONE batched Newton chain at the kernel's step 0
+    diags = jnp.stack(
+        [qp[j * BLK:(j + 1) * BLK, j * BLK:(j + 1) * BLK] for j in range(nb)]
+    )
+    row_blk = pl.BlockSpec((1, BLK), lambda j: (0, j), memory_space=pltpu.VMEM)
+
     # stage AB: a = Q h and b = Q^{-T} v in one sequential pass over Q
-    bcol, acol = pl.pallas_call(
+    brow, acol = pl.pallas_call(
         functools.partial(_probe_kernel, nb=nb),
         grid=(nb,),
-        in_specs=[col_panel, col_blk, col_blk],
-        out_specs=(col_blk, full_col),
+        in_specs=[col_panel, row_blk, col_blk, rep((nb, BLK, BLK))],
+        out_specs=(row_blk, full_col),
         out_shape=(
-            jax.ShapeDtypeStruct((np_, 1), f32),
+            jax.ShapeDtypeStruct((1, np_), f32),
             jax.ShapeDtypeStruct((np_, 1), f32),
         ),
-        scratch_shapes=[pltpu.VMEM((np_, 1), f32)],
+        scratch_shapes=[
+            pltpu.VMEM((1, np_), f32),
+            pltpu.VMEM((nb, BLK, BLK), f32),
+        ],
         interpret=interpret,
         compiler_params=_params(),
-    )(qp, vcol, hcol)
+    )(qp, vcol.reshape(1, np_), hcol, diags)
+    bcol = brow.reshape(np_, 1)
 
     # stage B2: the exact step normalizer from a, b alone
     mx = pl.pallas_call(

@@ -49,14 +49,27 @@ def _eye(bs: int, dtype) -> jax.Array:
     return (r == c).astype(dtype)
 
 
+# Precision schedule for the Newton chains: the iteration X <- X(2I - AX)
+# is SELF-CORRECTING (quadratic convergence of the residual), so rounding
+# injected by early iterations is annihilated by later ones — only the
+# LAST iteration's operand rounding survives into the result. Running all
+# but the final iteration at default MXU precision (1-pass bf16) and the
+# final one at HIGHEST (bf16x6, error-free fp32 emulation) therefore gives
+# fp32-level inverses at ~1/4 the MXU passes. This matters: at BLK = 256
+# the all-HIGHEST batched chain for a 4096-wide solve costs ~51 GFLOP of
+# MXU work — measured as ~+300 us on the dense gridded update's solve
+# stage, by far its largest non-traffic cost.
+
 def _newton_inv(a: jax.Array, bs: int) -> jax.Array:
     """Exact inverse of a triangular (bs, bs) block; see module docstring."""
     eye = _eye(bs, a.dtype)
     d = jnp.sum(a * eye, axis=1)  # diagonal (gather-free)
     x = eye * (1.0 / d)[:, None]
-    for _ in range(max(1, math.ceil(math.log2(bs)))):
-        ax = jnp.dot(a, x, preferred_element_type=jnp.float32, precision=SOLVE_PRECISION)
-        x = jnp.dot(x, 2.0 * eye - ax, preferred_element_type=jnp.float32, precision=SOLVE_PRECISION)
+    iters = max(1, math.ceil(math.log2(bs)))
+    for k in range(iters + 1):
+        prec = SOLVE_PRECISION if k == iters else None
+        ax = jnp.dot(a, x, preferred_element_type=jnp.float32, precision=prec)
+        x = jnp.dot(x, 2.0 * eye - ax, preferred_element_type=jnp.float32, precision=prec)
     return x
 
 
@@ -76,13 +89,16 @@ def _newton_inv_batched(stack: jax.Array) -> jax.Array:
     eye = _eye(bs, stack.dtype)
     d = jnp.sum(stack * eye[None], axis=2)  # (K, bs) diagonals, gather-free
     x = eye[None] * (1.0 / d)[:, :, None]
-    bdot = lambda a, b: jax.lax.dot_general(
+    bdot = lambda a, b, prec: jax.lax.dot_general(
         a, b, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=SOLVE_PRECISION,
+        preferred_element_type=jnp.float32, precision=prec,
     )
-    for _ in range(max(1, math.ceil(math.log2(bs)))):
-        ax = bdot(stack, x)
-        x = bdot(x, 2.0 * eye[None] - ax)
+    iters = max(1, math.ceil(math.log2(bs)))
+    for k in range(iters + 1):
+        # mixed precision schedule — see _newton_inv above
+        prec = SOLVE_PRECISION if k == iters else None
+        ax = bdot(stack, x, prec)
+        x = bdot(x, 2.0 * eye[None] - ax, prec)
     return x
 
 
