@@ -66,12 +66,17 @@ def update(
                 q, v, h, step,
             )
             return DenseState(Q=new_q)
-        if n <= pallas_ops.dense_big.MAX_N and pallas_ops.shard_ctx() is None:
+        if n <= pallas_ops.dense_big.MAX_N:
             # gridded HBM-streaming stages (ops/pallas/dense_big.py) up to
             # the reference's ~1e4-param dense capacity (README.md:54);
-            # under a mesh this size row-shards and takes the XLA path
-            new_q = pallas_ops.dense_big.fused_update(
-                q, v, h, step, linalg.tiny(q.dtype)
+            # Q replicates on a mesh (parallel/policies.py), so the kernel
+            # runs per-device exactly like the single-launch one
+            new_q = pallas_ops.replicated_call(
+                lambda *a: pallas_ops.dense_big.fused_update(
+                    *a, linalg.tiny(q.dtype),
+                    interpret=pallas_ops.interpret_default(),
+                ),
+                q, v, h, step,
             )
             return DenseState(Q=new_q)
     a = q @ h
@@ -112,9 +117,13 @@ def update_apply(
                 q, v, h, g, step,
             )
             return DenseState(Q=new_q), pre
-        if n <= pallas_ops.dense_big.MAX_N and pallas_ops.shard_ctx() is None:
-            new_q, pre = pallas_ops.dense_big.fused_update_apply(
-                q, v, h, g, step, linalg.tiny(q.dtype)
+        if n <= pallas_ops.dense_big.MAX_N:
+            new_q, pre = pallas_ops.replicated_call(
+                lambda *a: pallas_ops.dense_big.fused_update_apply(
+                    *a, linalg.tiny(q.dtype),
+                    interpret=pallas_ops.interpret_default(),
+                ),
+                q, v, h, g, step,
             )
             return DenseState(Q=new_q), pre
     st = update(state, v, h, step=step)

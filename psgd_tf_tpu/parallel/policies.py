@@ -3,11 +3,13 @@
 Per SURVEY.md §2.4, the one real distributed-design problem this library
 owns is block-partitioning the preconditioner state itself:
 
-  dense  : Q rows over `shard` (the O(n^2) state) when n exceeds the fused
-           kernel's VMEM cap; below it Q replicates so the one-launch
-           Pallas update can run per-device (ops/pallas/dense_upd.py —
-           a <= 768^2 fp32 Q is ~2.3MB, cheaper to replicate than to
-           sequence a row-sharded triangular solve across devices).
+  dense  : Q replicates at every size, so the fused kernels (dense_upd
+           single-launch, dense_big gridded) run per-device. The update's
+           triangular solve and reverse-cumsum rank-2 form are sequential
+           along rows — row-sharding buys no parallelism and GSPMD's
+           cumsum partition is pathological (see precond_sharding) — and
+           the family's capacity envelope (n ~ 1e4, ref README.md:54)
+           keeps replicated Q cheap next to model state.
   diag   : q over `shard`.
   xmat   : folded (2, m) rows over `shard` along the pair axis. The folded
            layout (groups/xmat.py) co-locates each coupled (i, n-1-i) pair,
@@ -55,10 +57,16 @@ def precond_sharding(mesh: Mesh, precond: Any) -> Any:
     rep = replicated(mesh)
 
     if isinstance(precond, dense.DenseState):
-        from psgd_tf_tpu.ops.pallas import dense_upd
-
-        small = precond.Q.shape[0] <= dense_upd.MAX_N
-        return dense.DenseState(Q=rep if small else rowmat)
+        # Q replicates at every size. The dense capacity envelope tops out
+        # at n ~ 1e4 (ref README.md:54; dense_big.MAX_N = 16384, ~1GB fp32
+        # replicated — cheap next to model state at that scale), and both
+        # the update's triangular solve and its reverse-cumsum rank-2 form
+        # are SEQUENTIAL along the row axis: row-sharding buys no speed,
+        # and GSPMD's partition of cumsum over a sharded axis was measured
+        # pathological (a (3456,)^2 reverse cumsum failed to complete in
+        # 120s on the virtual mesh vs 0.8s replicated). Replication keeps
+        # the fused kernels runnable per device (replicated_call).
+        return dense.DenseState(Q=rep)
     if isinstance(precond, diag.DiagState):
         return diag.DiagState(q=row)
     if isinstance(precond, xmat.XMatState):

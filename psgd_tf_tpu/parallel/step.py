@@ -25,15 +25,39 @@ def build_sharded_step(
     params: Any,
     batch_axes: tuple[int, ...] | None = None,
     donate: bool = True,
+    param_specs: Any | None = None,
 ):
     """Returns a compiled `step(params, state, key, *batch)`.
 
-    params replicate; preconditioner state shards per family policy; every
-    positional batch argument shards its leading axis over `data`
-    (`batch_axes` selects which args are batches; default: all).
+    By default params replicate (pure DP + state sharding). Pass
+    `param_specs` — a pytree of `jax.sharding.PartitionSpec` matching
+    `params` (None leaves replicate) — for TENSOR-PARALLEL models: each
+    parameter, its gradient, and its Hvp probe then live sharded on the
+    mesh, and GSPMD partitions the preconditioner algebra around them
+    (SURVEY.md §2.4 TP row: the per-layer Kron factors stay replicated —
+    they are small by design, ref README.md:54 — and the factor updates'
+    statistical Grams A A^T / A^T A contract over the sharded axis, which
+    is exactly the "psum of cross-terms" the survey plans; the fused
+    kron kernels run replicated per device, with GSPMD gathering each
+    TP layer's probe at the shard_map boundary).
+
+    Preconditioner state shards per family policy; every positional batch
+    argument shards its leading axis over `data` (`batch_axes` selects
+    which args are batches; default: all).
     """
     rep = policies.replicated(mesh)
-    param_sh = jax.tree_util.tree_map(lambda _: rep, params)
+    if param_specs is None:
+        param_sh = jax.tree_util.tree_map(lambda _: rep, params)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        param_sh = jax.tree_util.tree_map(
+            lambda spec: NamedSharding(
+                mesh, spec if spec is not None else PartitionSpec()
+            ),
+            param_specs,
+            is_leaf=lambda x: x is None or isinstance(x, PartitionSpec),
+        )
     state_sh = policies.state_sharding(mesh, state)
     data_sh = policies.batch_sharding(mesh)
 

@@ -211,3 +211,91 @@ def test_state_sharding_structure(mesh):
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(data=5, shard=3)
+
+
+def test_sharded_dense_over_cap_matches_single_device(mesh):
+    """dense at n > dense_upd.MAX_N on a mesh: Q replicates by policy
+    (row-sharding is useless for the row-sequential solve/cumsum and
+    GSPMD's cumsum partition hangs — parallel/policies.py) and the
+    gridded dense_big kernel runs per-device via replicated_call."""
+    from psgd_tf_tpu.ops import pallas as pallas_ops
+    from psgd_tf_tpu.groups import dense
+
+    n = pallas_ops.dense_upd.MAX_N + 64
+    key = jax.random.PRNGKey(11)
+    state = dense.init(n, init_scale=0.1)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+    h = jax.random.normal(jax.random.fold_in(key, 2), (n,))
+    g = jax.random.normal(jax.random.fold_in(key, 3), (n,))
+
+    ref_st, ref_out = jax.jit(
+        lambda st: dense.update_apply(st, v, h, g, step=0.05)
+    )(state)  # XLA path (pallas off on CPU, no mesh context)
+
+    sh = precond_sharding(mesh, state)
+    assert sh.Q.is_fully_replicated
+
+    with pallas_ops.sharding(mesh):
+        got_st, got_out = jax.jit(
+            lambda st: dense.update_apply(st, v, h, g, step=0.05),
+            in_shardings=(sh,), out_shardings=(sh, None),
+        )(jax.device_put(state, sh))
+    np.testing.assert_allclose(
+        np.asarray(got_st.Q), np.asarray(ref_st.Q), rtol=2e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_out), np.asarray(ref_out), rtol=2e-5, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("family", ["kron", "lra"])
+def test_tensor_parallel_params_match_single_device(family, mesh):
+    """TENSOR-PARALLEL params (SURVEY.md §2.4 TP row): a 3-layer MLP whose
+    weight matrices shard over the mesh via `param_specs` — grads and Hvp
+    probes live sharded, GSPMD psums the factor-update cross-terms — must
+    trace the same trajectory as the single-device step."""
+    key = jax.random.PRNGKey(7)
+    shapes = [(16, 32), (32, 32), (32, 4)]
+    params = [
+        0.4 * jax.random.normal(jax.random.fold_in(key, i), s)
+        for i, s in enumerate(shapes)
+    ]
+    # mixed TP layouts: col-shard, row-shard, replicated
+    specs = [P(None, "shard"), P("shard", None), None]
+    x = jax.random.normal(jax.random.fold_in(key, 9), (16, 16))
+
+    def loss(ws, xb):
+        y = xb
+        for w in ws:
+            y = jnp.tanh(y @ w)
+        return jnp.mean(y**2)
+
+    kwargs = dict(lr_params=0.05, lr_preconditioner=0.05)
+    if family == "kron":
+        opt = psgd.PSGD(preconditioner="kron", kron_formats=[("dense", "dense")] * 3, **kwargs)
+    else:
+        opt = psgd.PSGD(preconditioner="lra", rank=RANK, **kwargs)
+    state = opt.init(params, jax.random.fold_in(key, 2))
+
+    ref_step = jax.jit(partial(opt.step, loss))
+    step = build_sharded_step(
+        opt, loss, mesh, state, params, donate=False, param_specs=specs
+    )
+
+    ref_p, ref_s, p, s = params, state, params, state
+    for i in range(3):  # multi-step: factor updates feed back
+        k = jax.random.fold_in(key, 100 + i)
+        ref_p, ref_s, ref_aux = ref_step(ref_p, ref_s, k, x)
+        p, s, aux = step(p, s, k, x)
+        np.testing.assert_allclose(
+            float(aux["loss"]), float(ref_aux["loss"]), rtol=1e-5
+        )
+    for a, b in zip(jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(ref_p)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        )
+    # the TP'd leaves really are sharded on the mesh
+    assert any(
+        not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree_util.tree_leaves(p)
+    )
