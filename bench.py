@@ -168,8 +168,8 @@ def measure_stream_bw(n: int = 1 << 25) -> float:
 
 
 def family_traffic_bytes(family: str, n: int, rank: int = 10) -> float:
-    """Analytic MINIMUM HBM bytes per update+apply pair (fp32, each array
-    touched once per required pass; perfect fusion assumed):
+    """Analytic HBM bytes per update+apply pair for the ROUTED schedule
+    (fp32, each array touched once per pass; perfect fusion assumed):
 
       diag : update reads q,v,h + writes q' (4n); apply reads q',g +
              writes out (3n)                                  -> 28n B
@@ -177,21 +177,24 @@ def family_traffic_bytes(family: str, n: int, rank: int = 10) -> float:
              v,h(2n) + writes state'(2n); apply reads state'(2n), g +
              writes out                                       -> 40n B
       shift: same folded (2, m) state and pass structure as xmat -> 40n B
-      lra  : three streaming passes over U,V (2nr each) + vectors, one
-             factor write, temp vectors; apply reads U,V,d,g + writes
-             (ops/pallas/lra_upd.py traffic model)   -> (10nr + 19n) * 4 B
-      splu : same three-pass shape over Lt,U12 (ops/pallas/splu_upd.py)
-                                                     -> (10nr + 18n) * 4 B
-      dense: update reads Q + writes Q' (2n^2); apply streams Q twice
-             (Qg then Q^T(Qg))                       -> 4n^2 * 4 B
+      lra  : two streaming passes over U,V (stage 1 Gram, stage 3 write
+             with the apply Gram riding it) + the stage-4 apply pass +
+             vectors incl. the deferred-d XLA map
+             (ops/pallas/lra_upd.py traffic model)    -> (8nr + 15n) * 4 B
+      splu : VMEM-resident single launch at bench sizes: state read once
+             + written once (4nr tails+corners) + probe/out vectors
+             (ops/pallas/splu_one.py)                 -> (4nr + 10n) * 4 B
+      dense: gridded fused update+apply: Q read twice (probe pass, update
+             sweep) + written once, P'g riding the sweep
+             (ops/pallas/dense_big.py)                     -> 3n^2 * 4 B
     """
     return 4.0 * {
         "diag": 7 * n,
         "xmat": 10 * n,
         "shift": 10 * n,
-        "lra": 10 * n * rank + 19 * n,
-        "splu": 10 * n * rank + 18 * n,
-        "dense": 4 * n * n,
+        "lra": 8 * n * rank + 15 * n,
+        "splu": 4 * n * rank + 10 * n,
+        "dense": 3 * n * n,
     }[family]
 
 
@@ -236,6 +239,43 @@ def bench_family_nnz_per_sec(family: str, n: int, rank: int = 10) -> float:
 
     dt = time_chained(step, make_state)
     return nnz / dt
+
+
+def bench_kron_sparse_gelem_per_sec(
+    fmt: tuple[str, str], shape: tuple[int, int]
+) -> tuple[float, float]:
+    """Sparse-format Kronecker update+apply throughput at reference-envelope
+    probe shapes (ref README.md:54: (norm, dense) to [1e6, 1e3],
+    (norm, scale) to [1e6, 1e6] of STATE; the m x n PROBES bound what any
+    implementation can materialize). Returns (probe Gelem/s, model GB/s):
+    elem = m*n per update+apply pair; the traffic model is the routed
+    streaming schedule (kron_sparse_big.py): dG once + dX twice for the
+    arrow-coupled pairs (3mn; single-pass impossible — the last-row
+    correction gates the bias reduction), 2mn for (dense, scale), plus
+    2mn for the apply's G read + out write.
+    """
+    from psgd_tf_tpu.groups import kron
+
+    m, n = shape
+    arrow = "norm" in fmt
+    passes = (3 if arrow else 2) + 2
+
+    def make_state(rep: int):
+        key = jax.random.PRNGKey(rep)
+        st = kron.init(shape, fmt=fmt, init_scale=0.9)
+        dX = jax.random.normal(jax.random.fold_in(key, 1), shape)
+        dG = jax.random.normal(jax.random.fold_in(key, 2), shape)
+        return st, dX, dG
+
+    def step(carry):
+        st, dX, dG = carry
+        st = kron.update(st, dX, dG, step=1e-4)
+        out = kron.apply(st, dG)
+        return st, dX + 1e-30 * out, dG
+
+    dt = time_chained(step, make_state, iters=10, reps=3)
+    elems = float(m) * float(n)
+    return elems / dt, passes * elems * 4.0 / dt / 1e9
 
 
 def bench_nmt_step_us(exact: bool = False) -> float:
@@ -307,6 +347,26 @@ def main():
             log(f"{famname:6s} n={n:>8d}  {nps/1e9:8.3f} Gnnz/s{sol}")
         except Exception as exc:  # noqa: BLE001 — report and continue
             log(f"{famname} bench failed: {exc}")
+
+    # sparse-format kron pairs at reference-envelope probe shapes
+    # (README.md:54) — streamed by kron_sparse_big beyond the resident cap
+    kron_shapes = {
+        "kron_nd": (("norm", "dense"), (131072, 512)),
+        "kron_ns": (("norm", "scale"), (65536, 8192)),
+        "kron_ds": (("dense", "scale"), (512, 131072)),
+    }
+    for name, (fmt, shape) in kron_shapes.items():
+        try:
+            gps, gbs = bench_kron_sparse_gelem_per_sec(fmt, shape)
+            results[f"{name}_gelem_per_sec"] = gps / 1e9
+            sol = ""
+            if stream_bw:
+                frac = gbs / stream_bw
+                results[f"{name}_pct_of_stream_bound"] = frac
+                sol = f"  traffic {gbs:6.0f} GB/s = {frac:5.1%} of HBM bound"
+            log(f"{name} {fmt} {shape}  {gps/1e9:8.3f} Gelem/s{sol}")
+        except Exception as exc:  # noqa: BLE001
+            log(f"{name} bench failed: {exc}")
 
     try:
         nmt_us = bench_nmt_step_us()

@@ -44,7 +44,9 @@ from psgd_tf_tpu.ops import linalg
 from psgd_tf_tpu.ops.pallas import tri as tri_mod
 from psgd_tf_tpu.ops.pallas.tri import BS, VMEM_LIMIT
 
-MAX_LANES = 32768     # padded minor-axis cap for the streaming kernels
+MAX_LANES = 131072    # padded minor-axis cap: (1, np) factor rows and the
+                      # rep-mapped accumulators stay ~0.5MB each in VMEM;
+                      # the row-panel grid still streams the O(mn) probes
 MAX_DENSE = 1024      # dense-factor side cap (matches kron_dd.MAX_SIDE)
 PANEL_BYTES = 2 << 20  # target panel size per streamed input
 

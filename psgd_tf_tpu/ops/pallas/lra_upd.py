@@ -1,10 +1,10 @@
-"""Fused LRA (UVd) update — three streaming Pallas kernels at the HBM bound.
+"""Fused LRA (UVd) update — two streaming Pallas kernels at the HBM bound.
 
 The XLA path for `lra.update` (reference parity ref :554-617) issues
 ~10-13 separate passes over the (r, n) factors per update; measured on
-v5e it runs 8-14x above the HBM traffic bound. The minimum is set by two
-chained global reductions (Grams -> rank-space solves -> max|nablaD| ->
-step sizes), which force exactly three streaming passes:
+v5e it runs 8-14x above the HBM traffic bound. One global reduction chain
+(Grams -> rank-space solves -> stage coefficients) forces exactly two
+streaming passes:
 
   stage 1 (reduce):  one pass over U, V, d, h, v -> all rank-space
       reductions at once: t = Vx, s = Ux, p = Uw, q = Vw, the Grams
@@ -12,21 +12,25 @@ step sizes), which force exactly three streaming passes:
       max|U|, max|V| (for the 1%-probability rebalance).
   rank-space algebra (jnp, O(r^2)): the balance factors fold into the
       reductions as scalars (cu*cv = 1, so G is balance-invariant);
-      Woodbury solves on the r x r system give every stage-2/3
+      Woodbury solves on the r x r system give every stage-3
       coefficient. No (r, n) data is touched.
-  stage 2 (map+reduce): one pass -> the global max|nablaD| (the probe
-      images are recomputed in stage 3 from the same coefficients instead
-      of round-tripping 3 n-vectors through HBM).
-  stage 3 (update): one pass -> U', V', d' via rank-vector outer products;
-      the U-vs-V coin arrives as zeroed coefficients (branch-free masked
-      update, SURVEY.md §7 hard part #3), the balance as the cu/cv scale.
+  stage 3 (update): one pass -> U', V' via rank-vector outer products
+      (the U-vs-V coin arrives as zeroed coefficients — branch-free
+      masked update, SURVEY.md §7 hard part #3 — the balance as the
+      cu/cv scale) and the UNSCALED d-gradient nablaD as a lane row.
+      d' needs the global max|nablaD| BEFORE its factors rewrite —
+      historically a separate streaming pass between the two above —
+      but the scale is a SCALAR, so deferring it commutes with the
+      elementwise rewrite: d' = d - mu_d * d * nablaD runs as one XLA
+      AXPY (O(n) map, fused) after the max, and the whole (2nr + 3n)
+      middle pass disappears (~25% of the update's traffic at r = 10).
 
-Traffic: ~8nr + O(n) bytes vs XLA's measured ~50-120nr. Factors are
-rank-major (r, n) so the parameter axis rides the lanes: every kernel op
-is a lane-broadcast/reduce (VPU) or an (r, BLK) contraction (MXU).
-Mosaic-specific shapes: all n-vectors travel as (1, n) rows; rank vectors
-pack as columns of small 2-D arrays (scalar/1-D VMEM stores and 1-D dot
-operands don't lower).
+Traffic: ~6nr + O(n) bytes (~8nr + O(n) with the fused apply) vs XLA's
+measured ~50-120nr. Factors are rank-major (r, n) so the parameter axis
+rides the lanes: every kernel op is a lane-broadcast/reduce (VPU) or an
+(r, BLK) contraction (MXU). Mosaic-specific shapes: all n-vectors travel
+as (1, n) rows; rank vectors pack as columns of small 2-D arrays
+(scalar/1-D VMEM stores and 1-D dot operands don't lower).
 """
 from __future__ import annotations
 
@@ -85,7 +89,7 @@ def _stage1_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref,
     )
 
 
-# ------------------------------------------------------------------ stage 2
+# ------------------------------------------------------------ probe images
 
 def _probe_images(u, v, d, h, vv, coef):
     """Recompute (qh, b, nd) from the stage-1 rank-space coefficients.
@@ -93,9 +97,9 @@ def _probe_images(u, v, d, h, vv, coef):
     coef cols: 0 = t0 (Qh), 1 = cv*a1 (invQtv), 2 = cv*s2 (Ph), 3 = cu*a2.
     Projections are VPU broadcast-multiply + sublane reduce; an MXU dot
     here would K-stream 64 output tiles per projection and dominate the
-    kernel. Shared by stage 2 (max reduction) and stage 3 (update), which
-    RECOMPUTES instead of round-tripping 3 n-vectors through HBM — the
-    inputs are re-streamed either way, so recomputation is free traffic.
+    kernel. Stage 3 RECOMPUTES these from the coefficients instead of
+    round-tripping 3 n-vectors through HBM — the inputs are re-streamed
+    either way, so recomputation is free traffic.
     """
     x = d * h
     w = vv / d
@@ -111,30 +115,16 @@ def _probe_images(u, v, d, h, vv, coef):
     return qh, b, nd
 
 
-def _stage2_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref, coef_ref, ndmax_ref):
-    first = pl.program_id(0) == 0
-    _, _, nd = _probe_images(
-        u_ref[:], v_ref[:], d_ref[:], h_ref[:], vv_ref[:], coef_ref
-    )
-
-    @pl.when(first)
-    def _():
-        ndmax_ref[:] = jnp.zeros_like(ndmax_ref)
-
-    ndmax_ref[:] = jnp.maximum(ndmax_ref[:], jnp.max(jnp.abs(nd)))
-
-
 # ------------------------------------------------------------------ stage 3
 
 def _stage3_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref,
                    coef2_ref, coef_ref, scal_ref,
-                   newu_ref, newv_ref, newd_ref):
+                   newu_ref, newv_ref, nd_ref):
     a, b, nd = _probe_images(
         u_ref[:], v_ref[:], d_ref[:], h_ref[:], vv_ref[:], coef2_ref
     )
     cu = scal_ref[0, 0]
     cv = scal_ref[0, 1]
-    mu_d = scal_ref[0, 2]
 
     def col(j):  # (rp, 1)
         return coef_ref[:, j : j + 1]
@@ -153,7 +143,10 @@ def _stage3_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref,
 
     newu_ref[:] = cu * u_ref[:] - (outer(col(0), a) - outer(col(1), b))
     newv_ref[:] = cv * v_ref[:] - (outer(col(2), av) - outer(col(3), bv))
-    newd_ref[:] = d_ref[:] - mu_d * d_ref[:] * nd
+    # d' = d - mu_d d nablaD needs max|nablaD| over ALL lanes first; emit
+    # the unscaled gradient row and let the caller's XLA AXPY finish it
+    # (module docstring: this is what deleted the old stage-2 pass).
+    nd_ref[:] = nd
 
 
 # -------------------------------------------------- stages 3+4 with apply
@@ -166,14 +159,13 @@ def _stage3_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref,
 
 def _stage3_apply_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref, g_ref,
                          coef2_ref, coef_ref, scal_ref,
-                         newu_ref, newv_ref, newd_ref, gram2_ref):
+                         newu_ref, newv_ref, nd_ref, gram2_ref):
     first = pl.program_id(0) == 0
     a, b, nd = _probe_images(
         u_ref[:], v_ref[:], d_ref[:], h_ref[:], vv_ref[:], coef2_ref
     )
     cu = scal_ref[0, 0]
     cv = scal_ref[0, 1]
-    mu_d = scal_ref[0, 2]
 
     def col(j):
         return coef_ref[:, j : j + 1]
@@ -183,15 +175,19 @@ def _stage3_apply_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref, g_ref,
 
     newu = cu * u_ref[:] - (col(0) * a - col(1) * b)
     newv = cv * v_ref[:] - (col(2) * av - col(3) * bv)
-    newd = d_ref[:] - mu_d * d_ref[:] * nd
     newu_ref[:] = newu
     newv_ref[:] = newv
-    newd_ref[:] = newd
+    nd_ref[:] = nd
 
-    # packed apply Gram: Z2 = [U'; V'; y] -> Gu', U'y, V'y in one K-stream
-    y = newd * g_ref[:]
+    # packed apply Gram over Z2 = [U'; V'; y0; y1]: the apply vector is
+    # y = d' g = (d - mu_d d nablaD) g = y0 - mu_d y1 with mu_d unknown
+    # until the global max — every Gram block the apply needs (Gu', U'y,
+    # V'y) is LINEAR in y, so the caller recombines the y0/y1 columns
+    # with the known mu_d afterwards.
+    y0 = d_ref[:] * g_ref[:]
+    y1 = y0 * nd
     z2 = jnp.concatenate(
-        [newu, newv, y] + [jnp.zeros_like(y)] * 7, axis=0
+        [newu, newv, y0, y1] + [jnp.zeros_like(y0)] * 6, axis=0
     )
 
     @pl.when(first)
@@ -308,17 +304,7 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
     coef2 = jnp.stack([t0, cv * a1, cv * s2, cu * a2], axis=1)  # (rp, 4)
     coef2 = jnp.concatenate([coef2, jnp.zeros((rp, 4), f32)], axis=1)
 
-    ndmax = pl.pallas_call(
-        _stage2_kernel,
-        grid=(nb,),
-        in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, rep((rp, 8))],
-        out_specs=rep((1, 8)),
-        out_shape=jax.ShapeDtypeStruct((1, 8), f32),
-        interpret=interpret,
-    )(Up, Vp, dp, hp, vp, coef2)
-
     step = jnp.asarray(step, f32)
-    mu_d = step / (pmax(ndmax[0, 0]) + tiny)
 
     # ---- rank-space dots of a = Qh and b = invQtv (no extra passes)
     aa = xx + 2.0 * (s @ t) + t @ (Gup @ t)
@@ -362,10 +348,10 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
     g2 = cv * btU
     coef3 = jnp.stack([e1, e2, f1, f2, g1, g2], axis=1)  # (rp, 6)
     coef3 = jnp.concatenate([coef3, jnp.zeros((rp, 2), f32)], axis=1)
-    scal3 = jnp.zeros((1, 8), f32).at[0, 0].set(cu).at[0, 1].set(cv).at[0, 2].set(mu_d)
+    scal3 = jnp.zeros((1, 8), f32).at[0, 0].set(cu).at[0, 1].set(cv)
 
     if g is None:
-        newU, newV, newd = pl.pallas_call(
+        newU, newV, nd = pl.pallas_call(
             _stage3_kernel,
             grid=(nb,),
             in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n,
@@ -379,13 +365,17 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
             interpret=interpret,
         )(Up, Vp, dp, hp, vp, coef2, coef3, scal3)
 
+        # deferred d rewrite: one fused XLA map (pad lanes have nd = 0)
+        mu_d = step / (pmax(jnp.max(jnp.abs(nd))) + tiny)
+        newd = dp - mu_d * dp * nd
+
         if padded:
             return newU[:r, :n], newV[:r, :n], newd[0, :n]
         return newU, newV, newd[0]
 
     # ---- stage 3 + apply-Gram accumulation, then the stage-4 map
     z2dim = 2 * rp + 8
-    newU, newV, newd, gram2 = pl.pallas_call(
+    newU, newV, nd, gram2 = pl.pallas_call(
         _stage3_apply_kernel,
         grid=(nb,),
         in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, blk_n,
@@ -400,11 +390,15 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
         interpret=interpret,
     )(Up, Vp, dp, hp, vp, gp, coef2, coef3, scal3)
     gram2 = psum(gram2)
+    mu_d = step / (pmax(jnp.max(jnp.abs(nd))) + tiny)
+    newd = dp - mu_d * dp * nd     # deferred d rewrite (fused XLA map)
 
-    iu2, iv2, iy2 = slice(0, rp), slice(rp, 2 * rp), 2 * rp
-    Gu2 = gram2[iu2, iu2]          # U' U'^T
-    uy = gram2[iu2, iy2]           # U' y
-    t1 = gram2[iv2, iy2]           # V' y
+    # recombine the y0/y1 Gram columns with the now-known mu_d: y = y0 - mu_d y1
+    iu2, iv2 = slice(0, rp), slice(rp, 2 * rp)
+    iy0, iy1 = 2 * rp, 2 * rp + 1
+    Gu2 = gram2[iu2, iu2]                                  # U' U'^T
+    uy = gram2[iu2, iy0] - mu_d * gram2[iu2, iy1]          # U' y
+    t1 = gram2[iv2, iy0] - mu_d * gram2[iv2, iy1]          # V' y
     t2 = uy + Gu2 @ t1             # U' (y + U'^T t1)
     coef4 = jnp.zeros((rp, 8), f32).at[:, 0].set(t1).at[:, 1].set(t2)
 
