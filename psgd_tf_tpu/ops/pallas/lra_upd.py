@@ -42,7 +42,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLKN = 8192  # lanes per grid step
-SUB = 8      # fp32 sublane quantum (rank pads to a multiple of this)
+SUB = 8      # fp32 sublane quantum (Mosaic tile granularity; rank-major
+             # factors are NOT rounded up to it in HBM — see _update_impl)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -186,9 +187,7 @@ def _stage3_apply_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref, g_ref,
     # with the known mu_d afterwards.
     y0 = d_ref[:] * g_ref[:]
     y1 = y0 * nd
-    z2 = jnp.concatenate(
-        [newu, newv, y0, y1] + [jnp.zeros_like(y0)] * 6, axis=0
-    )
+    z2 = jnp.concatenate([newu, newv, y0, y1], axis=0)
 
     @pl.when(first)
     def _():
@@ -212,7 +211,8 @@ def _identity(x):
 
 
 def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
-                 psum=_identity, pmax=_identity, g=None):
+                 psum=_identity, pmax=_identity, g=None,
+                 stage1_combine=None):
     """The three-stage fused update over a (possibly device-local) block.
 
     `psum`/`pmax` reduce the rank-space quantities across a mesh axis when
@@ -225,15 +225,20 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
     extra map pass) and returned as a fourth output.
     """
     r, n = U.shape
-    rp = max(SUB, _cdiv(r, SUB) * SUB)
+    # NO rank padding in HBM: Mosaic pads partial (8, 128) tiles inside
+    # VMEM for free, while materializing (rp, n) copies costs real HBM
+    # traffic — at the reference's r = 10 a sublane-rounded rp = 16 was
+    # measured to inflate every factor pass by 60% AND add full pad/unpad
+    # copies (stage 1 alone: 586 us vs its ~140 us traffic at n = 1M).
+    rp = r
     np_ = _cdiv(n, BLKN) * BLKN
     nb = np_ // BLKN
     f32 = jnp.float32
-    padded = (rp != r) or (np_ != n)
+    padded = np_ != n
 
     if padded:
         def pad_rn(m):
-            return jnp.zeros((rp, np_), f32).at[:r, :n].set(m)
+            return jnp.zeros((rp, np_), f32).at[:, :n].set(m)
 
         def pad_n(x, fill=0.0):
             return jnp.full((1, np_), fill, f32).at[0, :n].set(x)
@@ -255,19 +260,41 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
 
     # ---- stage 1: ONE packed Gram Z Z^T = every rank-space reduction
     zdim = 2 * rp + 2
-    bigram, maxs = pl.pallas_call(
-        _stage1_kernel,
-        grid=(nb,),
-        in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n],
-        out_specs=(rep((zdim, zdim)), rep((1, 8))),
-        out_shape=(
-            jax.ShapeDtypeStruct((zdim, zdim), f32),
-            jax.ShapeDtypeStruct((1, 8), f32),
-        ),
-        interpret=interpret,
-    )(Up, Vp, dp, hp, vp)
-    bigram = psum(bigram)
-    maxs = pmax(maxs)
+
+    def _stage1(off, cnb):
+        # index maps offset by `off` grid blocks: chunked calls stream
+        # disjoint lane ranges of the SAME arrays (no slicing copies)
+        c_rn = pl.BlockSpec(
+            (rp, BLKN), lambda i: (0, i + off), memory_space=pltpu.VMEM
+        )
+        c_n = pl.BlockSpec(
+            (1, BLKN), lambda i: (0, i + off), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            _stage1_kernel,
+            grid=(cnb,),
+            in_specs=[c_rn, c_rn, c_n, c_n, c_n],
+            out_specs=(rep((zdim, zdim)), rep((1, 8))),
+            out_shape=(
+                jax.ShapeDtypeStruct((zdim, zdim), f32),
+                jax.ShapeDtypeStruct((1, 8), f32),
+            ),
+            interpret=interpret,
+        )(Up, Vp, dp, hp, vp)
+
+    if stage1_combine is not None and nb >= 2:
+        # pipelined path (fused_update_sharded(pipelined=True)): partial
+        # Grams per lane chunk; the combiner ring-reduces chunk k with
+        # ppermute hops that are independent of chunk k+1's launch, so
+        # the scheduler can overlap exchange with streaming compute
+        # (parallel/overlap.py).
+        half = nb // 2
+        parts = [_stage1(0, half), _stage1(half, nb - half)]
+        bigram, maxs = stage1_combine(parts)
+    else:
+        bigram, maxs = _stage1(0, nb)
+        bigram = psum(bigram)
+        maxs = pmax(maxs)
 
     # unpack Z Z^T with Z = [U; V; x; w]
     iu, iv, ix, iw = slice(0, rp), slice(rp, 2 * rp), 2 * rp, 2 * rp + 1
@@ -374,7 +401,7 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
         return newU, newV, newd[0]
 
     # ---- stage 3 + apply-Gram accumulation, then the stage-4 map
-    z2dim = 2 * rp + 8
+    z2dim = 2 * rp + 2
     newU, newV, nd, gram2 = pl.pallas_call(
         _stage3_apply_kernel,
         grid=(nb,),
@@ -426,17 +453,44 @@ def fused_update(U, V, d, v, h, step, key, tiny: float, interpret: bool = False)
     return _update_impl(U, V, d, v, h, step, key, tiny, interpret)
 
 
+def _ring_combine(axis: str, n_dev: int):
+    """stage1_combine for the pipelined sharded update: ring-reduce each
+    chunk's partial Gram/maxes with ppermute hops the scheduler can hide
+    behind the next chunk's Pallas launch (parallel/overlap.py)."""
+    from psgd_tf_tpu.parallel import overlap
+
+    def combine(parts):
+        grams = [overlap.ring_reduce(g, axis, n_dev) for g, _ in parts]
+        maxes = [overlap.ring_max(m, axis, n_dev) for _, m in parts]
+        bigram = grams[0]
+        for g in grams[1:]:
+            bigram = bigram + g
+        maxs = maxes[0]
+        for m in maxes[1:]:
+            maxs = jnp.maximum(maxs, m)
+        return bigram, maxs
+
+    return combine
+
+
 def fused_update_sharded(
     U, V, d, v, h, step, key, tiny: float, mesh, axis: str = "shard",
-    interpret: bool = False,
+    interpret: bool = False, pipelined: bool = False,
 ):
     """Mesh-sharded fused update: each device streams its own lane slice of
-    the rank-major factors through the three Pallas stages; the rank-space
-    reductions (the packed Gram Z Z^T, max|U|/|V|, max|nablaD|) psum/pmax
-    over `axis` — the north-star "block-partitioned factors with ICI-reduced
-    rank-space exchange" (SURVEY.md §2.4). The PRNG key replicates, so the
-    rebalance and U-vs-V coins agree on every device and the result matches
-    the single-device trajectory exactly (up to reduction order).
+    the rank-major factors through the streaming Pallas stages; the
+    rank-space reductions (the packed Gram Z Z^T, max|U|/|V|, max|nablaD|)
+    psum/pmax over `axis` — the north-star "block-partitioned factors with
+    ICI-reduced rank-space exchange" (SURVEY.md §2.4). The PRNG key
+    replicates, so the rebalance and U-vs-V coins agree on every device and
+    the result matches the single-device trajectory exactly (up to
+    reduction order).
+
+    `pipelined=True` computes the stage-1 Gram in lane chunks and
+    ring-reduces each chunk over ppermute hops structurally independent of
+    the next chunk's launch, letting the scheduler overlap the exchange
+    with streaming compute (parallel/overlap.py; identical numerics, ring
+    reduction order).
 
     Call inside jit under GSPMD: shard_map re-shards the operands to the
     lane split and hands back shard-annotated outputs.
@@ -458,6 +512,7 @@ def fused_update_sharded(
             U, V, d, v, h, step, key, tiny, interpret,
             psum=functools.partial(jax.lax.psum, axis_name=axis),
             pmax=functools.partial(jax.lax.pmax, axis_name=axis),
+            stage1_combine=_ring_combine(axis, n_dev) if pipelined else None,
         )
 
     row = P(None, axis)

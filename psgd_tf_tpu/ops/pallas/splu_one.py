@@ -109,12 +109,9 @@ def _kernel(l1_ref, u1_ref, l2t_ref, u2_ref, l3_ref, u3_ref,
     # ---- packed tail Gram (splu_upd stage 1; one MXU contraction)
     lu = l3 * u3
     w = 1.0 / lu
-    zpad = jnp.zeros_like(l3)
     z = jnp.concatenate(
-        [u2, l2t, u2 * w, dg2, dx2 * w, lu * dg2,
-         zpad, zpad, zpad, zpad, zpad],
-        axis=0,
-    )  # (3rp + 8, ntp): rp-aligned blocks + 3 vector rows + 5 pad rows
+        [u2, l2t, u2 * w, dg2, dx2 * w, lu * dg2], axis=0
+    )  # (3rp + 3, ntp); Mosaic pads partial tiles internally, no zero rows
     gram = _dotg(z, z, ((1,), (1,)))
     iu, il, iw = slice(0, rp), slice(rp, 2 * rp), slice(2 * rp, 3 * rp)
     idg, idx, ilug = 3 * rp, 3 * rp + 1, 3 * rp + 2
@@ -127,9 +124,11 @@ def _kernel(l1_ref, u1_ref, l2t_ref, u2_ref, l3_ref, u3_ref,
     G_UwUw = gram[iw, 2 * rp:3 * rp]       # U2 diag(w^2) U2^T
     U2_w2dx = gram[iw, idx:idx + 1]        # U2 diag(w^2) dx2
 
-    # ---- corner solves: exact Newton inverses of the r x r blocks
-    invL1 = tri_mod._newton_inv(L1, rp)
-    invU1 = tri_mod._newton_inv(U1, rp)
+    # ---- corner solves: exact Newton inverses of the r x r blocks, BOTH
+    # in one batched chain (the two sequential chains were back-to-back
+    # dependent small-matmul latency; the latency rule from kron/dense)
+    invs = tri_mod._newton_inv_batched(jnp.stack([L1, U1]))
+    invL1, invU1 = invs[0], invs[1]
     hdot = functools.partial(
         jnp.dot, preferred_element_type=f32,
         precision=tri_mod.SOLVE_PRECISION,
@@ -198,8 +197,8 @@ def _kernel(l1_ref, u1_ref, l2t_ref, u2_ref, l3_ref, u3_ref,
         g1, g2 = g1_ref[:], g2_ref[:]
         lu_p = newl3 * newu3
         z2 = jnp.concatenate(
-            [newu2, newl2t, lu_p * g2, g2] + [zpad] * 6, axis=0
-        )  # (2rp + 8, ntp)
+            [newu2, newl2t, lu_p * g2, g2], axis=0
+        )  # (2rp + 2, ntp)
         gram2 = _dotg(z2, z2, ((1,), (1,)))
         il2 = slice(rp, 2 * rp)
         ilug2, ig2 = 2 * rp, 2 * rp + 1
@@ -225,7 +224,10 @@ def _call(Lt, l3, U12, u3, v, h, g, step, tiny, interpret, with_apply):
     f32 = jnp.float32
     r, n = U12.shape
     nt = n - r
-    rp = max(SUB, _cdiv(r, SUB) * SUB)
+    # NO rank padding in HBM (Mosaic pads partial tiles in VMEM for free;
+    # a sublane-rounded rp inflates tail traffic by rp/r and adds full
+    # pad/unpad copies — the lesson measured on lra_upd)
+    rp = r
     ntp = _cdiv(nt, LANE) * LANE
 
     def pad_corner(m, identity):

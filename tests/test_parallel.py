@@ -168,6 +168,59 @@ def test_sharded_fused_lra_matches_xla_oracle(mesh, n, rank):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
 
 
+def test_pipelined_sharded_lra_matches_oracle(mesh):
+    """The ppermute-ring pipelined variant (chunked stage-1 Grams,
+    parallel/overlap.py) must match both the plain psum'd sharded kernel
+    and the XLA oracle. n is sized so each device's lane block splits
+    into >= 2 chunks (the pipeline actually engages)."""
+    from psgd_tf_tpu.groups import lra
+    from psgd_tf_tpu.ops import linalg
+    from psgd_tf_tpu.ops.pallas import lra_upd
+
+    n, rank = 65536, 3
+    key = jax.random.PRNGKey(9)
+    st = lra.init(key, n, rank=rank)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+    h = jax.random.normal(jax.random.fold_in(key, 2), (n,))
+    k_up = jax.random.fold_in(key, 3)
+    ref = lra.update(st, v, h, step=0.05, key=k_up)  # XLA path on CPU
+
+    def run(pipelined):
+        return jax.jit(
+            lambda U, V, d, v, h, k: lra_upd.fused_update_sharded(
+                U, V, d, v, h, 0.05, k, linalg.tiny(jnp.float32),
+                mesh=mesh, axis="shard", interpret=True,
+                pipelined=pipelined,
+            )
+        )(st.U, st.V, st.d, v, h, k_up)
+
+    got_pipe = run(True)
+    got_plain = run(False)
+    for a, b, c in zip(got_pipe, got_plain, (ref.U, ref.V, ref.d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-5, atol=2e-6)
+
+
+def test_ring_reduce_matches_psum(mesh):
+    """overlap.ring_reduce/_max == lax.psum/pmax on the virtual mesh."""
+    from psgd_tf_tpu.parallel import overlap
+
+    n_dev = mesh.shape["shard"]
+    x = jnp.arange(32, dtype=jnp.float32).reshape(4, 8)
+    xs = jnp.stack([x + i for i in range(n_dev)])
+
+    def local(xb):
+        ring = overlap.ring_reduce(xb, "shard", n_dev)
+        rmax = overlap.ring_max(xb, "shard", n_dev)
+        return ring - jax.lax.psum(xb, "shard"), rmax - jax.lax.pmax(xb, "shard")
+
+    d_ring, d_max = jax.shard_map(
+        local, mesh=mesh, in_specs=P("shard"), out_specs=P("shard"),
+    )(xs.reshape(n_dev * 4, 8))
+    assert float(jnp.max(jnp.abs(d_ring))) == 0.0
+    assert float(jnp.max(jnp.abs(d_max))) == 0.0
+
+
 def test_sharding_ctx_routes_lra_to_sharded_kernel(mesh, monkeypatch):
     """build_sharded_step's trace must hit the shard_map'd kernel, not the
     XLA fallback (the round-1 blanket pallas disable is gone)."""
