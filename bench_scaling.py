@@ -116,32 +116,47 @@ def bench_tpu_single_chip(n: int, rank: int, iters: int = 30) -> dict:
 
     def chain(fn):
         def body(carry, _):
-            U, V, d = fn(carry[0], carry[1], carry[2])
-            return (U, V, d), None
+            UV, d = fn(carry[0], carry[1])
+            return (UV, d), None
 
-        def run(U, V, d):
-            return jax.lax.scan(body, (U, V, d), None, length=iters)[0]
+        def run(UV, d):
+            return jax.lax.scan(body, (UV, d), None, length=iters)[0]
 
         return jax.jit(run)
 
     raw = chain(
-        lambda U, V, d: lra_upd.fused_update(U, V, d, v, h, 0.001, key, t)
+        lambda UV, d: lra_upd.fused_update(UV, d, v, h, 0.001, key, t)
     )
     wrapped = chain(
-        lambda U, V, d: lra_upd.fused_update_sharded(
-            U, V, d, v, h, 0.001, key, t, mesh=mesh
+        lambda UV, d: lra_upd.fused_update_sharded(
+            UV, d, v, h, 0.001, key, t, mesh=mesh
         )
     )
     nnz = 2 * n * rank + n
     out = {}
     for name, fn in [("raw_kernel", raw), ("shardmap_kernel", wrapped)]:
-        o = fn(state.U, state.V, state.d)
+        o = fn(state.UV, state.d)
         jax.block_until_ready(o)
-        tt = _median_time(lambda: jax.block_until_ready(fn(state.U, state.V, state.d)))
+        tt = _median_time(lambda: jax.block_until_ready(fn(state.UV, state.d)))
         out[name] = nnz / (tt / iters)
         log(f"1-chip {name}: {out[name] / 1e9:8.2f} Gnnz/s")
     out["shardmap_overhead"] = out["raw_kernel"] / out["shardmap_kernel"]
     return out
+
+
+def comm_models(n: int, rank: int) -> dict:
+    """Analytic bytes-exchanged-per-sharded-step per family
+    (parallel/overlap.comm_model): computable today, measurable when
+    multi-chip hardware exists (VERDICT r2 item 6). The state-sharding
+    ('shard' axis) payloads are RANK-SPACE only by design; the
+    data-parallel gradient+Hvp reduction dominates every family and is
+    common to any DP optimizer."""
+    from psgd_tf_tpu.parallel import overlap
+
+    return {
+        fam: overlap.comm_model(fam, n, rank)
+        for fam in ("lra", "splu", "dense", "diag", "xmat", "shift", "kron")
+    }
 
 
 def main():
@@ -162,6 +177,7 @@ def main():
                     "unit": "Gnnz/s (vs raw kernel, 1 real TPU chip)",
                     "vs_baseline": round(1.0 / res["shardmap_overhead"], 4),
                     "detail": {k: round(v, 4) for k, v in res.items()},
+                    "comm_model": comm_models(args.n, args.rank),
                 }
             )
         )
@@ -214,6 +230,7 @@ def main():
                     k: {kk: round(vv, 4) for kk, vv in v.items()}
                     for k, v in results.items()
                 },
+                "comm_model": comm_models(args.n, args.rank),
             }
         )
     )

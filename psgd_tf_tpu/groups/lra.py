@@ -37,9 +37,21 @@ from psgd_tf_tpu.ops import linalg
 
 @flax.struct.dataclass
 class LRAState:
-    U: jax.Array  # (r, n) rank-major
-    V: jax.Array  # (r, n)
-    d: jax.Array  # (n,)
+    # U and V live PACKED in one (2r, n) rank-major array (U rows then V
+    # rows): a 2-D fp32 array's sublane dim physically rounds up to 8 in
+    # HBM, so two separate (10, n) factors would occupy 32 rows of real
+    # traffic where the packed array occupies 24 — a 25% streaming tax at
+    # the reference's r = 10 (measured, ops/pallas/lra_upd.py docstring).
+    UV: jax.Array  # (2r, n) packed rank-major factors
+    d: jax.Array   # (n,)
+
+    @property
+    def U(self) -> jax.Array:  # (r, n) view; XLA fuses the slice
+        return self.UV[: self.UV.shape[0] // 2]
+
+    @property
+    def V(self) -> jax.Array:
+        return self.UV[self.UV.shape[0] // 2 :]
 
 
 def init(
@@ -50,13 +62,16 @@ def init(
     dtype=jnp.float32,
 ) -> LRAState:
     """U, V ~ N(0, (n * r)^{-1/2}), d = init_scale (ref :687-690)."""
-    ku, kv = jax.random.split(key)
     scale = (1.0 / (n * rank)) ** 0.5
     return LRAState(
-        U=scale * jax.random.normal(ku, (rank, n), dtype=dtype),
-        V=scale * jax.random.normal(kv, (rank, n), dtype=dtype),
+        UV=scale * jax.random.normal(key, (2 * rank, n), dtype=dtype),
         d=init_scale * jnp.ones((n,), dtype=dtype),
     )
+
+
+def pack(U: jax.Array, V: jax.Array, d: jax.Array) -> LRAState:
+    """Build the packed state from separate (r, n) factors (tests/oracles)."""
+    return LRAState(UV=jnp.concatenate([U, V], axis=0), d=d)
 
 
 def _ip_uvt_matvec(u: jax.Array, v: jax.Array, x: jax.Array) -> jax.Array:
@@ -82,27 +97,32 @@ def update(
         # mesh-sharded kernels: lane-partitioned factors, psum'd rank-space
         # reductions over the `shard` axis (lra_upd.fused_update_sharded)
         mesh, axis = ctx
-        new_U, new_V, new_d = pallas_ops.lra_upd.fused_update_sharded(
-            state.U, state.V, state.d, v, h, step, key, t,
+        new_UV, new_d = pallas_ops.lra_upd.fused_update_sharded(
+            state.UV, state.d, v, h, step, key, t,
             mesh=mesh, axis=axis, interpret=pallas_ops.interpret_default(),
         )
-        return LRAState(U=new_U, V=new_V, d=new_d)
+        return LRAState(UV=new_UV, d=new_d)
     if pallas_ops.enabled() and dtype == jnp.float32:
-        # three-pass streaming kernels (ops/pallas/lra_upd.py); identical
+        # two-pass streaming kernels (ops/pallas/lra_upd.py); identical
         # PRNG branch structure, so trajectories match the path below
-        new_U, new_V, new_d = pallas_ops.lra_upd.fused_update(
-            state.U, state.V, state.d, v, h, step, key, t,
+        new_UV, new_d = pallas_ops.lra_upd.fused_update(
+            state.UV, state.d, v, h, step, key, t,
             interpret=pallas_ops.interpret_default(),
         )
-        return LRAState(U=new_U, V=new_V, d=new_d)
+        return LRAState(UV=new_UV, d=new_d)
 
     k_bal, k_uv = jax.random.split(key)
     s = jnp.asarray(step, dtype)
 
     # 1% probability U/V dynamic-range rebalance (ref :562-567)
     def _balance(st: LRAState) -> LRAState:
+        r = st.UV.shape[0] // 2
         rho = jnp.sqrt(linalg.max_abs(st.U) / linalg.max_abs(st.V))
-        return st.replace(U=st.U / rho, V=rho * st.V)
+        scale = jnp.concatenate(
+            [jnp.full((r, 1), 1.0, st.UV.dtype) / rho,
+             jnp.full((r, 1), 1.0, st.UV.dtype) * rho]
+        )
+        return st.replace(UV=st.UV * scale)
 
     state = jax.lax.cond(
         jax.random.uniform(k_bal, dtype=dtype) < 0.01, _balance, lambda st: st, state
@@ -175,7 +195,7 @@ def update(
     new_U, new_V = jax.lax.cond(
         jax.random.uniform(k_uv, dtype=dtype) < 0.5, _update_u, _update_v, U, V
     )
-    return LRAState(U=new_U, V=new_V, d=new_d)
+    return pack(new_U, new_V, new_d)
 
 
 def apply(state: LRAState, g: jax.Array) -> jax.Array:
@@ -206,17 +226,17 @@ def update_apply(
     ctx = pallas_ops.shard_ctx()
     if ctx is not None and dtype == jnp.float32:
         mesh, axis = ctx
-        new_U, new_V, new_d, pre = pallas_ops.lra_upd.fused_update_apply_sharded(
-            state.U, state.V, state.d, v, h, g, step, key, t,
+        new_UV, new_d, pre = pallas_ops.lra_upd.fused_update_apply_sharded(
+            state.UV, state.d, v, h, g, step, key, t,
             mesh=mesh, axis=axis, interpret=pallas_ops.interpret_default(),
         )
-        return LRAState(U=new_U, V=new_V, d=new_d), pre
+        return LRAState(UV=new_UV, d=new_d), pre
     if pallas_ops.enabled() and dtype == jnp.float32:
-        new_U, new_V, new_d, pre = pallas_ops.lra_upd.fused_update_apply(
-            state.U, state.V, state.d, v, h, g, step, key, t,
+        new_UV, new_d, pre = pallas_ops.lra_upd.fused_update_apply(
+            state.UV, state.d, v, h, g, step, key, t,
             interpret=pallas_ops.interpret_default(),
         )
-        return LRAState(U=new_U, V=new_V, d=new_d), pre
+        return LRAState(UV=new_UV, d=new_d), pre
     st = update(state, v, h, step=step, key=key)
     return st, apply(st, g)
 

@@ -60,15 +60,18 @@ def _dotg(a, b, dims):
 
 # ------------------------------------------------------------------ stage 1
 
-def _stage1_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref,
-                   bigram_ref, maxs_ref):
+def _stage1_kernel(uv_ref, d_ref, h_ref, vv_ref,
+                   bigram_ref, maxs_ref, *, r):
     """ONE packed Gram per block: Z = [U; V; x; w], Z Z^T contains every
     rank-space reduction the update needs (Gu, G, Gv, s, p, t, q and the
     probe dots). A single MXU K-stream instead of 3 Grams + 2 projections
     — the kernel's cost driver, since skinny-matmul cost is ~K cycles
-    regardless of M, N."""
+    regardless of M, N. U and V arrive PACKED as one (2r, B) block: two
+    separate (r, n) arrays each round their sublane dim up to 8 in HBM
+    (32 physical rows at r = 10), the packed array pays it once (24)."""
     first = pl.program_id(0) == 0
-    u, v = u_ref[:], v_ref[:]
+    uv = uv_ref[:]
+    u, v = uv[:r], uv[r:]
     x = d_ref[:] * h_ref[:]          # (1, B)
     w = vv_ref[:] / d_ref[:]
 
@@ -77,7 +80,7 @@ def _stage1_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref,
         bigram_ref[:] = jnp.zeros_like(bigram_ref)
         maxs_ref[:] = jnp.zeros_like(maxs_ref)
 
-    z = jnp.concatenate([u, v, x, w], axis=0)      # (2 rp + 2, B)
+    z = jnp.concatenate([uv, x, w], axis=0)        # (2 r + 2, B)
     bigram_ref[:] += _dotg(z, z, (((1,), (1,))))
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
@@ -118,32 +121,33 @@ def _probe_images(u, v, d, h, vv, coef):
 
 # ------------------------------------------------------------------ stage 3
 
-def _stage3_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref,
+def _stage3_kernel(uv_ref, d_ref, h_ref, vv_ref,
                    coef2_ref, coef_ref, scal_ref,
-                   newu_ref, newv_ref, nd_ref):
-    a, b, nd = _probe_images(
-        u_ref[:], v_ref[:], d_ref[:], h_ref[:], vv_ref[:], coef2_ref
-    )
+                   newuv_ref, nd_ref, *, r):
+    uv = uv_ref[:]
+    u, v = uv[:r], uv[r:]
+    a, b, nd = _probe_images(u, v, d_ref[:], h_ref[:], vv_ref[:], coef2_ref)
     cu = scal_ref[0, 0]
     cv = scal_ref[0, 1]
 
-    def col(j):  # (rp, 1)
+    def col(j):  # (r, 1)
         return coef_ref[:, j : j + 1]
 
-    def outer(cvec, row):  # (rp,1) x (1,B) -> (rp, B), VPU broadcast
+    def outer(cvec, row):  # (r,1) x (1,B) -> (r, B), VPU broadcast
         return cvec * row
 
-    def proj(j, m):  # (rp,1) . (rp,B) -> (1, B), VPU reduce
+    def proj(j, m):  # (r,1) . (r,B) -> (1, B), VPU reduce
         return jnp.sum(col(j) * m, axis=0, keepdims=True)
 
     # cols: 0 = e1, 1 = e2 (U update, mu-scaled; zero when updating V)
     #       2 = f1, 3 = f2 (V update, mu-scaled; zero when updating U)
     #       4 = g1, 5 = g2 (cv * atU', cv * btU' lane projections)
-    av = a + proj(4, v_ref[:])
-    bv = b + proj(5, v_ref[:])
+    av = a + proj(4, v)
+    bv = b + proj(5, v)
 
-    newu_ref[:] = cu * u_ref[:] - (outer(col(0), a) - outer(col(1), b))
-    newv_ref[:] = cv * v_ref[:] - (outer(col(2), av) - outer(col(3), bv))
+    newu = cu * u - (outer(col(0), a) - outer(col(1), b))
+    newv = cv * v - (outer(col(2), av) - outer(col(3), bv))
+    newuv_ref[:] = jnp.concatenate([newu, newv], axis=0)
     # d' = d - mu_d d nablaD needs max|nablaD| over ALL lanes first; emit
     # the unscaled gradient row and let the caller's XLA AXPY finish it
     # (module docstring: this is what deleted the old stage-2 pass).
@@ -158,26 +162,25 @@ def _stage3_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref,
 # are already in VMEM) leaves ONE map pass: with y = d'g,
 #   t1 = V'y, t2 = U'y + (U'U'^T) t1, out = d'(y + t1 U' + t2 V').
 
-def _stage3_apply_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref, g_ref,
+def _stage3_apply_kernel(uv_ref, d_ref, h_ref, vv_ref, g_ref,
                          coef2_ref, coef_ref, scal_ref,
-                         newu_ref, newv_ref, nd_ref, gram2_ref):
+                         newuv_ref, nd_ref, gram2_ref, *, r):
     first = pl.program_id(0) == 0
-    a, b, nd = _probe_images(
-        u_ref[:], v_ref[:], d_ref[:], h_ref[:], vv_ref[:], coef2_ref
-    )
+    uv = uv_ref[:]
+    u, v = uv[:r], uv[r:]
+    a, b, nd = _probe_images(u, v, d_ref[:], h_ref[:], vv_ref[:], coef2_ref)
     cu = scal_ref[0, 0]
     cv = scal_ref[0, 1]
 
     def col(j):
         return coef_ref[:, j : j + 1]
 
-    av = a + jnp.sum(col(4) * v_ref[:], axis=0, keepdims=True)
-    bv = b + jnp.sum(col(5) * v_ref[:], axis=0, keepdims=True)
+    av = a + jnp.sum(col(4) * v, axis=0, keepdims=True)
+    bv = b + jnp.sum(col(5) * v, axis=0, keepdims=True)
 
-    newu = cu * u_ref[:] - (col(0) * a - col(1) * b)
-    newv = cv * v_ref[:] - (col(2) * av - col(3) * bv)
-    newu_ref[:] = newu
-    newv_ref[:] = newv
+    newu = cu * u - (col(0) * a - col(1) * b)
+    newv = cv * v - (col(2) * av - col(3) * bv)
+    newuv_ref[:] = jnp.concatenate([newu, newv], axis=0)
     nd_ref[:] = nd
 
     # packed apply Gram over Z2 = [U'; V'; y0; y1]: the apply vector is
@@ -196,11 +199,12 @@ def _stage3_apply_kernel(u_ref, v_ref, d_ref, h_ref, vv_ref, g_ref,
     gram2_ref[:] += _dotg(z2, z2, ((1,), (1,)))
 
 
-def _stage4_kernel(u_ref, v_ref, d_ref, g_ref, coef_ref, out_ref):
+def _stage4_kernel(uv_ref, d_ref, g_ref, coef_ref, out_ref, *, r):
     """out = d' * (y + t1 U' + t2 V'); coef cols: 0 = t1, 1 = t2."""
+    uv = uv_ref[:]
     y = d_ref[:] * g_ref[:]
-    t1u = jnp.sum(coef_ref[:, 0:1] * u_ref[:], axis=0, keepdims=True)
-    t2v = jnp.sum(coef_ref[:, 1:2] * v_ref[:], axis=0, keepdims=True)
+    t1u = jnp.sum(coef_ref[:, 0:1] * uv[:r], axis=0, keepdims=True)
+    t2v = jnp.sum(coef_ref[:, 1:2] * uv[r:], axis=0, keepdims=True)
     out_ref[:] = d_ref[:] * (y + t1u + t2v)
 
 
@@ -210,10 +214,11 @@ def _identity(x):
     return x
 
 
-def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
+def _update_impl(UV, d, v, h, step, key, tiny: float, interpret: bool,
                  psum=_identity, pmax=_identity, g=None,
                  stage1_combine=None):
-    """The three-stage fused update over a (possibly device-local) block.
+    """The fused update over a (possibly device-local) block; UV is the
+    packed (2r, n) factor array (U rows then V rows).
 
     `psum`/`pmax` reduce the rank-space quantities across a mesh axis when
     the parameter (lane) axis is sharded (fused_update_sharded); identity
@@ -224,12 +229,15 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
     computed in the same sweep (stage 3 accumulates the apply Gram, one
     extra map pass) and returned as a fourth output.
     """
-    r, n = U.shape
+    r2, n = UV.shape
+    r = r2 // 2
     # NO rank padding in HBM: Mosaic pads partial (8, 128) tiles inside
-    # VMEM for free, while materializing (rp, n) copies costs real HBM
+    # VMEM for free, while materializing padded copies costs real HBM
     # traffic — at the reference's r = 10 a sublane-rounded rp = 16 was
     # measured to inflate every factor pass by 60% AND add full pad/unpad
     # copies (stage 1 alone: 586 us vs its ~140 us traffic at n = 1M).
+    # U and V travel PACKED in one (2r, n) array for the same reason: two
+    # (10, n) arrays tile to 32 physical sublanes, the packed one to 24.
     rp = r
     np_ = _cdiv(n, BLKN) * BLKN
     nb = np_ // BLKN
@@ -238,21 +246,21 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
 
     if padded:
         def pad_rn(m):
-            return jnp.zeros((rp, np_), f32).at[:, :n].set(m)
+            return jnp.zeros((r2, np_), f32).at[:, :n].set(m)
 
         def pad_n(x, fill=0.0):
             return jnp.full((1, np_), fill, f32).at[0, :n].set(x)
 
-        Up, Vp = pad_rn(U), pad_rn(V)
+        UVp = pad_rn(UV)
         dp = pad_n(d, fill=1.0)  # 1-fill keeps w = v/d finite in the pad
         hp, vp = pad_n(h), pad_n(v)
         gp = pad_n(g) if g is not None else None
     else:
-        Up, Vp = U, V
+        UVp = UV
         dp, hp, vp = d[None, :], h[None, :], v[None, :]
         gp = g[None, :] if g is not None else None
 
-    blk_rn = pl.BlockSpec((rp, BLKN), lambda i: (0, i), memory_space=pltpu.VMEM)
+    blk_uv = pl.BlockSpec((r2, BLKN), lambda i: (0, i), memory_space=pltpu.VMEM)
     blk_n = pl.BlockSpec((1, BLKN), lambda i: (0, i), memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -264,23 +272,23 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
     def _stage1(off, cnb):
         # index maps offset by `off` grid blocks: chunked calls stream
         # disjoint lane ranges of the SAME arrays (no slicing copies)
-        c_rn = pl.BlockSpec(
-            (rp, BLKN), lambda i: (0, i + off), memory_space=pltpu.VMEM
+        c_uv = pl.BlockSpec(
+            (r2, BLKN), lambda i: (0, i + off), memory_space=pltpu.VMEM
         )
         c_n = pl.BlockSpec(
             (1, BLKN), lambda i: (0, i + off), memory_space=pltpu.VMEM
         )
         return pl.pallas_call(
-            _stage1_kernel,
+            functools.partial(_stage1_kernel, r=r),
             grid=(cnb,),
-            in_specs=[c_rn, c_rn, c_n, c_n, c_n],
+            in_specs=[c_uv, c_n, c_n, c_n],
             out_specs=(rep((zdim, zdim)), rep((1, 8))),
             out_shape=(
                 jax.ShapeDtypeStruct((zdim, zdim), f32),
                 jax.ShapeDtypeStruct((1, 8), f32),
             ),
             interpret=interpret,
-        )(Up, Vp, dp, hp, vp)
+        )(UVp, dp, hp, vp)
 
     if stage1_combine is not None and nb >= 2:
         # pipelined path (fused_update_sharded(pipelined=True)): partial
@@ -378,44 +386,42 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
     scal3 = jnp.zeros((1, 8), f32).at[0, 0].set(cu).at[0, 1].set(cv)
 
     if g is None:
-        newU, newV, nd = pl.pallas_call(
-            _stage3_kernel,
+        newUV, nd = pl.pallas_call(
+            functools.partial(_stage3_kernel, r=r),
             grid=(nb,),
-            in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n,
+            in_specs=[blk_uv, blk_n, blk_n, blk_n,
                       rep((rp, 8)), rep((rp, 8)), rep((1, 8))],
-            out_specs=(blk_rn, blk_rn, blk_n),
+            out_specs=(blk_uv, blk_n),
             out_shape=(
-                jax.ShapeDtypeStruct((rp, np_), f32),
-                jax.ShapeDtypeStruct((rp, np_), f32),
+                jax.ShapeDtypeStruct((r2, np_), f32),
                 jax.ShapeDtypeStruct((1, np_), f32),
             ),
             interpret=interpret,
-        )(Up, Vp, dp, hp, vp, coef2, coef3, scal3)
+        )(UVp, dp, hp, vp, coef2, coef3, scal3)
 
         # deferred d rewrite: one fused XLA map (pad lanes have nd = 0)
         mu_d = step / (pmax(jnp.max(jnp.abs(nd))) + tiny)
         newd = dp - mu_d * dp * nd
 
         if padded:
-            return newU[:r, :n], newV[:r, :n], newd[0, :n]
-        return newU, newV, newd[0]
+            return newUV[:, :n], newd[0, :n]
+        return newUV, newd[0]
 
     # ---- stage 3 + apply-Gram accumulation, then the stage-4 map
     z2dim = 2 * rp + 2
-    newU, newV, nd, gram2 = pl.pallas_call(
-        _stage3_apply_kernel,
+    newUV, nd, gram2 = pl.pallas_call(
+        functools.partial(_stage3_apply_kernel, r=r),
         grid=(nb,),
-        in_specs=[blk_rn, blk_rn, blk_n, blk_n, blk_n, blk_n,
+        in_specs=[blk_uv, blk_n, blk_n, blk_n, blk_n,
                   rep((rp, 8)), rep((rp, 8)), rep((1, 8))],
-        out_specs=(blk_rn, blk_rn, blk_n, rep((z2dim, z2dim))),
+        out_specs=(blk_uv, blk_n, rep((z2dim, z2dim))),
         out_shape=(
-            jax.ShapeDtypeStruct((rp, np_), f32),
-            jax.ShapeDtypeStruct((rp, np_), f32),
+            jax.ShapeDtypeStruct((r2, np_), f32),
             jax.ShapeDtypeStruct((1, np_), f32),
             jax.ShapeDtypeStruct((z2dim, z2dim), f32),
         ),
         interpret=interpret,
-    )(Up, Vp, dp, hp, vp, gp, coef2, coef3, scal3)
+    )(UVp, dp, hp, vp, gp, coef2, coef3, scal3)
     gram2 = psum(gram2)
     mu_d = step / (pmax(jnp.max(jnp.abs(nd))) + tiny)
     newd = dp - mu_d * dp * nd     # deferred d rewrite (fused XLA map)
@@ -430,27 +436,27 @@ def _update_impl(U, V, d, v, h, step, key, tiny: float, interpret: bool,
     coef4 = jnp.zeros((rp, 8), f32).at[:, 0].set(t1).at[:, 1].set(t2)
 
     pre = pl.pallas_call(
-        _stage4_kernel,
+        functools.partial(_stage4_kernel, r=r),
         grid=(nb,),
-        in_specs=[blk_rn, blk_rn, blk_n, blk_n, rep((rp, 8))],
+        in_specs=[blk_uv, blk_n, blk_n, rep((rp, 8))],
         out_specs=blk_n,
         out_shape=jax.ShapeDtypeStruct((1, np_), f32),
         interpret=interpret,
-    )(newU, newV, newd, gp, coef4)
+    )(newUV, newd, gp, coef4)
 
     if padded:
-        return newU[:r, :n], newV[:r, :n], newd[0, :n], pre[0, :n]
-    return newU, newV, newd[0], pre[0]
+        return newUV[:, :n], newd[0, :n], pre[0, :n]
+    return newUV, newd[0], pre[0]
 
 
 @functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
-def fused_update(U, V, d, v, h, step, key, tiny: float, interpret: bool = False):
+def fused_update(UV, d, v, h, step, key, tiny: float, interpret: bool = False):
     """One LRA update matching groups.lra.update semantics exactly
     (including the rebalance and U-vs-V PRNG branch structure).
 
-    U, V: (r, n) rank-major; d, v, h: (n,). Returns (U', V', d').
-    """
-    return _update_impl(U, V, d, v, h, step, key, tiny, interpret)
+    UV: (2r, n) packed rank-major factors; d, v, h: (n,).
+    Returns (UV', d')."""
+    return _update_impl(UV, d, v, h, step, key, tiny, interpret)
 
 
 def _ring_combine(axis: str, n_dev: int):
@@ -474,7 +480,7 @@ def _ring_combine(axis: str, n_dev: int):
 
 
 def fused_update_sharded(
-    U, V, d, v, h, step, key, tiny: float, mesh, axis: str = "shard",
+    UV, d, v, h, step, key, tiny: float, mesh, axis: str = "shard",
     interpret: bool = False, pipelined: bool = False,
 ):
     """Mesh-sharded fused update: each device streams its own lane slice of
@@ -498,18 +504,17 @@ def fused_update_sharded(
     from jax.sharding import PartitionSpec as P
 
     n_dev = mesh.shape[axis]
-    r, n = U.shape
+    r2, n = UV.shape
     n_pad = _cdiv(n, n_dev) * n_dev
     if n_pad != n:
-        padm = lambda m: jnp.zeros((r, n_pad), m.dtype).at[:, :n].set(m)
         padv = lambda x, fill=0.0: jnp.full((n_pad,), fill, x.dtype).at[:n].set(x)
-        U, V = padm(U), padm(V)
+        UV = jnp.zeros((r2, n_pad), UV.dtype).at[:, :n].set(UV)
         d = padv(d, fill=1.0)  # 1-fill keeps w = v/d finite in the pad
         v, h = padv(v), padv(h)
 
-    def local(U, V, d, v, h, step, key):
+    def local(UV, d, v, h, step, key):
         return _update_impl(
-            U, V, d, v, h, step, key, tiny, interpret,
+            UV, d, v, h, step, key, tiny, interpret,
             psum=functools.partial(jax.lax.psum, axis_name=axis),
             pmax=functools.partial(jax.lax.pmax, axis_name=axis),
             stage1_combine=_ring_combine(axis, n_dev) if pipelined else None,
@@ -517,32 +522,32 @@ def fused_update_sharded(
 
     row = P(None, axis)
     lane = P(axis)
-    newU, newV, newd = jax.shard_map(
+    newUV, newd = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(row, row, lane, lane, lane, P(), P()),
-        out_specs=(row, row, lane),
+        in_specs=(row, lane, lane, lane, P(), P()),
+        out_specs=(row, lane),
         check_vma=False,  # pallas_call is opaque to the replication checker
-    )(U, V, d, v, h, jnp.asarray(step, jnp.float32), key)
+    )(UV, d, v, h, jnp.asarray(step, jnp.float32), key)
     if n_pad != n:
-        return newU[:, :n], newV[:, :n], newd[:n]
-    return newU, newV, newd
+        return newUV[:, :n], newd[:n]
+    return newUV, newd
 
 
 @functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
-def fused_update_apply(U, V, d, v, h, g, step, key, tiny: float,
+def fused_update_apply(UV, d, v, h, g, step, key, tiny: float,
                        interpret: bool = False):
     """One LRA update AND the preconditioned gradient P' g of the updated
     state in the same sweep (the optimizer's with-update branch): stage 3
     accumulates the apply Gram while the new factors are VMEM-resident,
     then one map pass — vs FOUR extra factor passes for a separate apply.
 
-    Returns (U', V', d', pre_grad)."""
-    return _update_impl(U, V, d, v, h, step, key, tiny, interpret, g=g)
+    Returns (UV', d', pre_grad)."""
+    return _update_impl(UV, d, v, h, step, key, tiny, interpret, g=g)
 
 
 def fused_update_apply_sharded(
-    U, V, d, v, h, g, step, key, tiny: float, mesh, axis: str = "shard",
+    UV, d, v, h, g, step, key, tiny: float, mesh, axis: str = "shard",
     interpret: bool = False,
 ):
     """Mesh-sharded fused update+apply (see fused_update_sharded; the
@@ -550,18 +555,17 @@ def fused_update_apply_sharded(
     from jax.sharding import PartitionSpec as P
 
     n_dev = mesh.shape[axis]
-    r, n = U.shape
+    r2, n = UV.shape
     n_pad = _cdiv(n, n_dev) * n_dev
     if n_pad != n:
-        padm = lambda m: jnp.zeros((r, n_pad), m.dtype).at[:, :n].set(m)
         padv = lambda x, fill=0.0: jnp.full((n_pad,), fill, x.dtype).at[:n].set(x)
-        U, V = padm(U), padm(V)
+        UV = jnp.zeros((r2, n_pad), UV.dtype).at[:, :n].set(UV)
         d = padv(d, fill=1.0)
         v, h, g = padv(v), padv(h), padv(g)
 
-    def local(U, V, d, v, h, g, step, key):
+    def local(UV, d, v, h, g, step, key):
         return _update_impl(
-            U, V, d, v, h, step, key, tiny, interpret,
+            UV, d, v, h, step, key, tiny, interpret,
             psum=functools.partial(jax.lax.psum, axis_name=axis),
             pmax=functools.partial(jax.lax.pmax, axis_name=axis),
             g=g,
@@ -569,13 +573,13 @@ def fused_update_apply_sharded(
 
     row = P(None, axis)
     lane = P(axis)
-    newU, newV, newd, pre = jax.shard_map(
+    newUV, newd, pre = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(row, row, lane, lane, lane, lane, P(), P()),
-        out_specs=(row, row, lane, lane),
+        in_specs=(row, lane, lane, lane, lane, P(), P()),
+        out_specs=(row, lane, lane),
         check_vma=False,
-    )(U, V, d, v, h, g, jnp.asarray(step, jnp.float32), key)
+    )(UV, d, v, h, g, jnp.asarray(step, jnp.float32), key)
     if n_pad != n:
-        return newU[:, :n], newV[:, :n], newd[:n], pre[:n]
-    return newU, newV, newd, pre
+        return newUV[:, :n], newd[:n], pre[:n]
+    return newUV, newd, pre

@@ -83,7 +83,7 @@ def precond_sharding(mesh: Mesh, precond: Any) -> Any:
     if isinstance(precond, splu.SpLUState):
         return splu.SpLUState(Lt=colmat, l3=row, U12=colmat, u3=row)
     if isinstance(precond, lra.LRAState):
-        return lra.LRAState(U=colmat, V=colmat, d=row)
+        return lra.LRAState(UV=colmat, d=row)
     if isinstance(precond, (list, tuple)):  # kron: replicate every factor
         return type(precond)(
             jax.tree_util.tree_map(lambda _: rep, ks) for ks in precond

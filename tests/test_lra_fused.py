@@ -23,8 +23,8 @@ def _case(n, r, seed):
 def test_fused_matches_xla_path(n, r, seed):
     state, v, h, k = _case(n, r, seed)
     ref = lra.update(state, v, h, 0.05, k)
-    got = lra_upd.fused_update(state.U, state.V, state.d, v, h, 0.05, k, TINY, interpret=True)
-    for g, want in zip(got, (ref.U, ref.V, ref.d)):
+    got = lra_upd.fused_update(state.UV, state.d, v, h, 0.05, k, TINY, interpret=True)
+    for g, want in zip(got, (ref.UV, ref.d)):
         scale = float(jnp.max(jnp.abs(want)))
         np.testing.assert_allclose(np.asarray(g), np.asarray(want), rtol=0, atol=3e-5 * scale)
 
@@ -40,10 +40,10 @@ def test_fused_matches_on_balance_branch():
             break
     assert kk is not None
     state, v, h, _ = _case(500, 5, 9)
-    state = state.replace(U=state.U * 3.0)  # imbalance so rho != 1
+    state = lra.pack(state.U * 3.0, state.V, state.d)  # imbalance so rho != 1
     ref = lra.update(state, v, h, 0.05, kk)
-    got = lra_upd.fused_update(state.U, state.V, state.d, v, h, 0.05, kk, TINY, interpret=True)
-    for g, want in zip(got, (ref.U, ref.V, ref.d)):
+    got = lra_upd.fused_update(state.UV, state.d, v, h, 0.05, kk, TINY, interpret=True)
+    for g, want in zip(got, (ref.UV, ref.d)):
         scale = float(jnp.max(jnp.abs(want)))
         np.testing.assert_allclose(np.asarray(g), np.asarray(want), rtol=0, atol=3e-5 * scale)
 
@@ -57,8 +57,8 @@ def test_fused_covers_both_uv_branches():
         _, k_uv = jax.random.split(k)
         hit.add(bool(jax.random.uniform(k_uv) < 0.5))
         ref = lra.update(state, v, h, 0.05, k)
-        got = lra_upd.fused_update(state.U, state.V, state.d, v, h, 0.05, k, TINY, interpret=True)
-        for g, want in zip(got, (ref.U, ref.V, ref.d)):
+        got = lra_upd.fused_update(state.UV, state.d, v, h, 0.05, k, TINY, interpret=True)
+        for g, want in zip(got, (ref.UV, ref.d)):
             scale = float(jnp.max(jnp.abs(want)))
             np.testing.assert_allclose(np.asarray(g), np.asarray(want), rtol=0, atol=3e-5 * scale)
     assert hit == {True, False}
@@ -77,9 +77,9 @@ def test_fused_update_apply_matches_sequence(n, r):
     st2 = lra.update(st, v, h, step=0.05, key=k_up)  # XLA path on CPU
     pre_ref = lra.apply(st2, g)
     got = lra_upd.fused_update_apply(
-        st.U, st.V, st.d, v, h, g, 0.05, k_up, TINY, interpret=True
+        st.UV, st.d, v, h, g, 0.05, k_up, TINY, interpret=True
     )
-    for a, b in zip(got, (st2.U, st2.V, st2.d, pre_ref)):
+    for a, b in zip(got, (st2.UV, st2.d, pre_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
 
 

@@ -158,13 +158,13 @@ def test_sharded_fused_lra_matches_xla_oracle(mesh, n, rank):
     ref = lra.update(st, v, h, step=0.05, key=k_up)  # XLA path on CPU
 
     fn = jax.jit(
-        lambda U, V, d, v, h, k: lra_upd.fused_update_sharded(
-            U, V, d, v, h, 0.05, k, linalg.tiny(jnp.float32),
+        lambda UV, d, v, h, k: lra_upd.fused_update_sharded(
+            UV, d, v, h, 0.05, k, linalg.tiny(jnp.float32),
             mesh=mesh, axis="shard", interpret=True,
         )
     )
-    got = fn(st.U, st.V, st.d, v, h, k_up)
-    for a, b in zip(got, (ref.U, ref.V, ref.d)):
+    got = fn(st.UV, st.d, v, h, k_up)
+    for a, b in zip(got, (ref.UV, ref.d)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
 
 
@@ -187,16 +187,16 @@ def test_pipelined_sharded_lra_matches_oracle(mesh):
 
     def run(pipelined):
         return jax.jit(
-            lambda U, V, d, v, h, k: lra_upd.fused_update_sharded(
-                U, V, d, v, h, 0.05, k, linalg.tiny(jnp.float32),
+            lambda UV, d, v, h, k: lra_upd.fused_update_sharded(
+                UV, d, v, h, 0.05, k, linalg.tiny(jnp.float32),
                 mesh=mesh, axis="shard", interpret=True,
                 pipelined=pipelined,
             )
-        )(st.U, st.V, st.d, v, h, k_up)
+        )(st.UV, st.d, v, h, k_up)
 
     got_pipe = run(True)
     got_plain = run(False)
-    for a, b, c in zip(got_pipe, got_plain, (ref.U, ref.V, ref.d)):
+    for a, b, c in zip(got_pipe, got_plain, (ref.UV, ref.d)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7)
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-5, atol=2e-6)
 
@@ -256,7 +256,7 @@ def test_state_sharding_structure(mesh):
     opt = psgd.PSGD(preconditioner="lra", rank=2)
     state = opt.init({"w": jnp.zeros((10,))}, jax.random.PRNGKey(0))
     sh = state_sharding(mesh, state)
-    assert sh.precond.U.spec == P(None, "shard")  # rank-major (r, n)
+    assert sh.precond.UV.spec == P(None, "shard")  # packed rank-major (2r, n)
     assert sh.precond.d.spec == P("shard")
     assert sh.hyper.lr_params.spec == P()
 
