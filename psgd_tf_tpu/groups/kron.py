@@ -403,6 +403,12 @@ def _sparse_dispatch(kind, xla_fn, a, b, dX, dG, s, t):
 
 
 def apply(state: KronState, G: jax.Array) -> jax.Array:
+    # The arrow-left applies stay XLA at EVERY size: a single-pass pallas
+    # apply exists (kron_sparse_big.fused_apply_{nd,ns}) but measured
+    # SLOWER than this chain at the reference-envelope shapes (2401 vs
+    # 1984 us nd, 16150 vs 15726 us ns) — its lone streamed operand pins
+    # it to the ~226 GB/s per-buffer DMA cap while XLA's chain runs
+    # multiple buffers concurrently. See the kernel docstring.
     ql, qr, fmt = state.ql, state.qr, state.fmt
     if fmt == ("dense", "dense"):
         return _apply_dd(ql, qr, G)

@@ -13,12 +13,15 @@ with Q touched exactly TWICE (1 read + 1 read+write) — the O(n^2)-traffic
 minimum for this formulation given that the exact max-abs step normalizer
 must be known before Q can be rewritten:
 
-  AB (grid over column panels, sequential): ONE pass computes BOTH probe
-      images from the same panel — a accumulates panel @ h_j into a
-      VMEM-carried (n, 1) output, and Q^T b = v is solved by forward
-      block substitution (b's solved prefix lives in a VMEM scratch that
-      persists across grid steps; TPU grid steps run in order)
-                                                          (read Q once)
+  AB (grid over ROW panels, sequential): ONE pass computes BOTH probe
+      images from the same panel — a_i = panel @ h (h VMEM-resident), and
+      b Q = v is solved by forward block substitution: Q's triangularity
+      lets b_i finalize AT panel i, then push its contribution to all
+      later columns through the panel already in VMEM (prefix sums in a
+      persistent scratch; TPU grid steps run in order). Row panels are
+      CONTIGUOUS in HBM — the previous column-panel schedule read 1KB
+      strided segments and measured 226 GB/s against the 658 GB/s
+      contiguous bound                                    (read Q once)
   B2 (grid over row blocks):   exact max|triu(a a^T - b b^T)| computed
       from a, b alone — O(n^2) VPU flops but O(n) memory traffic
   C (grid over row panels, REVERSED index map): the reverse cumulative
@@ -65,46 +68,48 @@ def _params():
 # ---------------- stage AB: a = Q h and solve Q^T b = v in ONE pass over Q
 
 def _probe_kernel(q_ref, vrow_ref, h_ref, diags_ref, b_ref, a_ref,
-                  bscr_ref, invs_ref, *, nb):
-    """Grid step j over column panels.
+                  acc_ref, invs_ref, *, nb):
+    """Grid step i over ROW panels (contiguous HBM segments — a COLUMN
+    panel of a row-major Q reads 1KB strided segments, measured 226 GB/s
+    vs the 658 GB/s contiguous bound; this stage was 422 us of the old
+    637 us update at n=4096 for that reason alone).
 
-    a: a += Q[:, jcols] @ h_j — accumulated in the (n, 1) output block
-    (constant index map keeps it VMEM-resident across steps).
-    b (ROW form): solving b Q = v by forward substitution over block
-    columns — b_j = (v_j - b_prefix @ Q[:, jcols]) inv(Q_jj), equivalent
-    to Q^T b^T = v^T. The row layout keeps every step a natural
-    (1, K) @ (K, BLK) vec-mat; the original column form contracted the
-    SUBLANE axis of the panel ((np, BLK)^T @ (np, 1)), which Mosaic
-    served with a per-step panel transpose — measured 908 us for this
-    stage alone at n=4096 vs ~100 us of HBM traffic.
+    Row-streaming works because Q is upper triangular, so the row-form
+    solve b Q = v finalizes b_i AT panel i:
+
+      b_i  = (v_i - acc[icols]) inv(Q_ii)          (acc = prefix sums)
+      acc += b_i @ Q[irows, :]                     (one (1,BLK) vec-mat —
+             contributions to every later column ride the panel already
+             in VMEM; writes to columns <= i land on entries never read
+             again)
+      a_i  = Q[irows, :] @ h                       (h fully VMEM-resident)
 
     ALL diagonal-block inversions run as ONE batched Newton chain at step
     0 (tri._newton_inv_batched on the pre-gathered diags input) — a
     per-step _newton_inv puts 2*ceil(log2(BLK)) dependent matmuls inside
     every grid step, nb of them back to back: a latency critical path."""
-    j = pl.program_id(0)
+    i = pl.program_id(0)
 
-    @pl.when(j == 0)
+    @pl.when(i == 0)
     def _():
-        bscr_ref[:] = jnp.zeros_like(bscr_ref)
-        a_ref[:] = jnp.zeros_like(a_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
         invs_ref[:] = tri_mod._newton_inv_batched(diags_ref[:])
 
     q = q_ref[:]
-    a_ref[:] += jnp.dot(q, h_ref[:], preferred_element_type=jnp.float32)
+    a_ref[:] = jnp.dot(q, h_ref[:], preferred_element_type=jnp.float32)
 
-    acc = vrow_ref[:] - jnp.dot(
-        bscr_ref[:], q,
+    rhs = vrow_ref[:] - acc_ref[0, pl.dslice(i * BLK, BLK)][None, :]
+    bi = jnp.dot(
+        rhs, invs_ref[i],
         preferred_element_type=jnp.float32,
         precision=tri_mod.SOLVE_PRECISION,
     )
-    bj = jnp.dot(
-        acc, invs_ref[j],
+    b_ref[:] = bi
+    acc_ref[:] += jnp.dot(
+        bi, q,
         preferred_element_type=jnp.float32,
         precision=tri_mod.SOLVE_PRECISION,
     )
-    bscr_ref[0, pl.dslice(j * BLK, BLK)] = bj[0]
-    b_ref[:] = bj
 
 
 # ----------------------- stage B2: exact max|triu(a a^T - b b^T)| from a, b
@@ -199,7 +204,6 @@ def _stages(q, v, h, step, tiny, interpret, g=None):
     vcol = jnp.zeros((np_, 1), f32).at[:n, 0].set(v)
     hcol = jnp.zeros((np_, 1), f32).at[:n, 0].set(h)
 
-    col_panel = pl.BlockSpec((np_, BLK), lambda j: (0, j), memory_space=pltpu.VMEM)
     col_blk = pl.BlockSpec((BLK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -213,13 +217,16 @@ def _stages(q, v, h, step, tiny, interpret, g=None):
         [qp[j * BLK:(j + 1) * BLK, j * BLK:(j + 1) * BLK] for j in range(nb)]
     )
     row_blk = pl.BlockSpec((1, BLK), lambda j: (0, j), memory_space=pltpu.VMEM)
+    row_panel = pl.BlockSpec(
+        (BLK, np_), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
 
-    # stage AB: a = Q h and b = Q^{-T} v in one sequential pass over Q
+    # stage AB: a = Q h and b = Q^{-T} v in one CONTIGUOUS row-panel pass
     brow, acol = pl.pallas_call(
         functools.partial(_probe_kernel, nb=nb),
         grid=(nb,),
-        in_specs=[col_panel, row_blk, col_blk, rep((nb, BLK, BLK))],
-        out_specs=(row_blk, full_col),
+        in_specs=[row_panel, row_blk, rep((np_, 1)), rep((nb, BLK, BLK))],
+        out_specs=(row_blk, col_blk),
         out_shape=(
             jax.ShapeDtypeStruct((1, np_), f32),
             jax.ShapeDtypeStruct((np_, 1), f32),

@@ -439,3 +439,97 @@ def fused_update_ds(Ql, qr, dX, dG, step, tiny: float,
     grad2 = grad2p[0, :n]
     step2 = step / (jnp.max(jnp.abs(grad2)) + tiny)
     return Ql_b - step1 * (grad1 @ Ql_b), qr_b - step2 * grad2 * qr_b
+
+
+# --------------------------------------------- single-pass (norm, *) APPLY
+
+def _kernel_apply_norm(g_ref, ql0_ref, ql1_ref, gl_ref, r_ref, out_ref,
+                       acc_ref, *, m, blk, dense_r):
+    """P g for the arrow-left pairs in ONE streamed pass over G.
+
+    The apply chain out = Ql^T ((Ql G) R) (R = Qr^T Qr for (norm, dense),
+    diag(qr^2) for (norm, scale)) looks two-pass — Ql's rank-1 term needs
+    G's last row, and Ql^T's correction sums over every row — but the
+    last row is an O(n) PREFETCH (input, not reduction) and the output
+    correction lands only on row m-1, which lives in the FINAL panel:
+    accumulate ql1^T Z alongside the streamed output rows and the total is
+    complete exactly when the row that needs it is in VMEM. 2mn traffic.
+
+    NOT ROUTED (measured r3, /tmp/apply_ab.py): despite the traffic
+    minimum it LOSES to the XLA chain at the reference-envelope shapes —
+    2401 vs 1984 us at (131072, 512) nd, 16150 vs 15726 us at
+    (65536, 8192) ns. Mechanism: a pallas kernel's HBM bandwidth is
+    per-BUFFER (~226 GB/s per streamed operand, ~888 GB/s only with >= 4
+    CONCURRENT separate-buffer streams; same-buffer multi-spec does NOT
+    parallelize), and this kernel has exactly one big streamed operand
+    each direction, so its 2mn move slower than XLA's ~4mn over several
+    concurrently-streamed temporaries. Kept as a tested oracle-parity
+    kernel; revisit if the apply operand ever arrives pre-split."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    preg = ql0_ref[:] * g_ref[:] + ql1_ref[:] * gl_ref[:]
+    if dense_r:
+        z = _dot(preg, r_ref[:])          # (blk, np) @ (np, np) on the MXU
+    else:
+        z = preg * r_ref[:]               # diag right factor: qr^2 lanes
+    # padded rows carry ql1 = 0, so they add nothing to the correction
+    acc_ref[:] += jnp.sum(ql1_ref[:] * z, axis=0, keepdims=True)
+    rows = i * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+    out_ref[:] = ql0_ref[:] * z + jnp.where(rows == m - 1, acc_ref[:], 0.0)
+
+
+def _apply_norm_call(ql, r, G, dense_r, interpret):
+    f32 = jnp.float32
+    m, n = G.shape
+    np_ = _cdiv(n, BS if dense_r else 128) * (BS if dense_r else 128)
+    blk = _blk_major(np_)
+    mp = _cdiv(m, blk) * blk
+
+    colb = lambda x, fill: _pad_rows_blk(x[:, None], mp, fill)
+    rowspec = pl.BlockSpec((blk, np_), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vecspec = pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+    if dense_r:
+        rp = r
+        if np_ > n:
+            rp = jnp.zeros((np_, np_), f32).at[:n, :n].set(r)
+        rspec = rep((np_, np_))
+    else:
+        rp = _pad_cols(r[None, :], np_, 0.0)
+        rspec = rep((1, np_))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_apply_norm, m=m, blk=blk, dense_r=dense_r),
+        grid=(mp // blk,),
+        in_specs=[rowspec, vecspec, vecspec, rep((1, np_)), rspec],
+        out_specs=rowspec,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), f32),
+        scratch_shapes=[pltpu.VMEM((1, np_), f32)],
+        interpret=interpret,
+        compiler_params=_params(),
+    )(
+        _pad_rows_blk(_pad_cols(G, np_), mp),
+        colb(ql[0], 1.0), colb(ql[1], 0.0),
+        _pad_cols(G[-1][None, :], np_, 0.0), rp,
+    )
+    return out[:m, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_apply_ns(ql, qr, G, interpret: bool = False):
+    """(norm, scale) P g in one streamed pass; ql: (2, m), qr: (n,)."""
+    return _apply_norm_call(ql, qr * qr, G, False, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_apply_nd(ql, Qr, G, interpret: bool = False):
+    """(norm, dense) P g in one streamed pass; R = Qr^T Qr precomputed in
+    XLA (n <= MAX_DENSE, O(n^2) — off the streaming path)."""
+    return _apply_norm_call(ql, _tdot(Qr, Qr), G, True, interpret)

@@ -452,6 +452,37 @@ def test_gridded_sparse_kron_arrow_convention_preserved():
         assert float(ql[1, -1]) == 0.0
 
 
+@pytest.mark.parametrize("fmt,shape", [
+    (("norm", "scale"), (700, 130)),
+    (("norm", "scale"), (80, 34000)),    # lane-streaming regime
+    (("norm", "scale"), (1030, 257)),    # m-1 mid-panel after padding
+    (("norm", "dense"), (900, 70)),
+    (("norm", "dense"), (1500, 200)),
+], ids=str)
+def test_streaming_norm_apply_matches_xla_path(fmt, shape):
+    """kron_sparse_big.fused_apply_{ns,nd} (single-pass streamed P g with
+    the last-row correction accumulated in-flight) vs the XLA oracle."""
+    from psgd_tf_tpu.ops.pallas import kron_sparse_big
+
+    k = "ns" if fmt[1] == "scale" else "nd"
+    fn = {
+        "ns": kron_sparse_big.fused_apply_ns,
+        "nd": kron_sparse_big.fused_apply_nd,
+    }[k]
+    key = jax.random.PRNGKey(41)
+    st = kron.init(shape, fmt=fmt, init_scale=0.8)
+    for i in range(3):  # walk off identity (XLA path on CPU)
+        dX = jax.random.normal(jax.random.fold_in(key, i), shape)
+        dG = jax.random.normal(jax.random.fold_in(key, 100 + i), shape)
+        st = kron.update(st, dX, dG, step=0.05)
+    G = jax.random.normal(jax.random.fold_in(key, 77), shape)
+    ref = kron.apply(st, G)
+    got = fn(st.ql, st.qr, G, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=5e-5, atol=5e-6
+    )
+
+
 def test_kron_update_multi_mixed_formats_one_launch():
     """The heterogeneous multi path (kron_multi) covers EVERY supported
     format pair, mirrors included, and matches element-wise kron.update."""
