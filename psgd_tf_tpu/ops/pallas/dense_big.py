@@ -53,8 +53,17 @@ from jax.experimental.pallas import tpu as pltpu
 from psgd_tf_tpu.ops.pallas import tri as tri_mod
 from psgd_tf_tpu.ops.pallas.tri import VMEM_LIMIT
 
-BLK = 256        # panel height/width (rows per grid step)
-MAX_N = 16384    # (BLK, n) panels at n=16k are 16MB — a few fit in VMEM
+BLK = 256        # panel height/width (rows per grid step), n <= 8192
+BLK_BIG = 128    # above that: stage C keeps ~5 (BLK, n) temporaries live
+                 # (wa/wb/sa/sb/newq) and 256-row panels blow the 100 MB
+                 # scoped-VMEM limit at n = 16384 (measured: 110.69 MB)
+MAX_N = 16384    # (BLK_BIG, n) panels at n=16k are 8MB — a few fit in VMEM
+BLK_SWITCH_N = 8192  # module-level so tests can exercise the BLK_BIG path
+                     # at interpret-tractable sizes
+
+
+def _blk(np_: int) -> int:
+    return BLK if np_ <= BLK_SWITCH_N else BLK_BIG
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -67,8 +76,8 @@ def _params():
 
 # ---------------- stage AB: a = Q h and solve Q^T b = v in ONE pass over Q
 
-def _probe_kernel(q_ref, vrow_ref, h_ref, diags_ref, b_ref, a_ref,
-                  acc_ref, invs_ref, *, nb):
+def _probe_kernel(q_ref, vrow_ref, h_ref, inv_ref, b_ref, a_ref,
+                  acc_ref, *, nb):
     """Grid step i over ROW panels (contiguous HBM segments — a COLUMN
     panel of a row-major Q reads 1KB strided segments, measured 226 GB/s
     vs the 658 GB/s contiguous bound; this stage was 422 us of the old
@@ -82,25 +91,31 @@ def _probe_kernel(q_ref, vrow_ref, h_ref, diags_ref, b_ref, a_ref,
              contributions to every later column ride the panel already
              in VMEM; writes to columns <= i land on entries never read
              again)
-      a_i  = Q[irows, :] @ h                       (h fully VMEM-resident)
+      a_i  = Q[irows, :] @ h                       (h as a (1, n) lane row:
+             a (n, 1) column block lane-pads x128 in VMEM — 8 MB at n=16k)
 
-    ALL diagonal-block inversions run as ONE batched Newton chain at step
-    0 (tri._newton_inv_batched on the pre-gathered diags input) — a
-    per-step _newton_inv puts 2*ceil(log2(BLK)) dependent matmuls inside
-    every grid step, nb of them back to back: a latency critical path."""
+    ALL diagonal-block inversions run as ONE batched Newton chain BEFORE
+    the launch (XLA tri._newton_inv_batched — a per-step in-kernel
+    _newton_inv puts 2*ceil(log2(BLK)) dependent matmuls inside every grid
+    step, a latency critical path) and `invs` streams in per grid step:
+    keeping all nb blocks VMEM-resident (plus the in-kernel Newton's diags
+    input and scratch) blew the 100 MB scoped-VMEM limit at n = 8192."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        invs_ref[:] = tri_mod._newton_inv_batched(diags_ref[:])
 
     q = q_ref[:]
-    a_ref[:] = jnp.dot(q, h_ref[:], preferred_element_type=jnp.float32)
+    blk = q.shape[0]
+    a_ref[:] = jax.lax.dot_general(
+        q, h_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
-    rhs = vrow_ref[:] - acc_ref[0, pl.dslice(i * BLK, BLK)][None, :]
+    rhs = vrow_ref[:] - acc_ref[0, pl.dslice(i * blk, blk)][None, :]
     bi = jnp.dot(
-        rhs, invs_ref[i],
+        rhs, inv_ref[0],
         preferred_element_type=jnp.float32,
         precision=tri_mod.SOLVE_PRECISION,
     )
@@ -117,7 +132,7 @@ def _probe_kernel(q_ref, vrow_ref, h_ref, diags_ref, b_ref, a_ref,
 def _maxabs_kernel(acol_ref, bcol_ref, arow_ref, brow_ref, out_ref, *, n):
     i = pl.program_id(0)
     tile = acol_ref[:] * arow_ref[:] - bcol_ref[:] * brow_ref[:]
-    rows = i * BLK + jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
+    rows = i * tile.shape[0] + jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
     m = jnp.max(jnp.where((rows <= cols) & (cols < n), jnp.abs(tile), 0.0))
 
@@ -148,10 +163,11 @@ def _update_body(q_ref, acol_ref, bcol_ref, s_ref, newq_ref, ta_ref, tb_ref):
         tb_ref[:] = jnp.zeros_like(tb_ref)
 
     q = q_ref[:]
+    blk = q.shape[0]
     wa = acol_ref[:] * q                  # (BLK, n): a_j Q[j, :]
     wb = bcol_ref[:] * q
-    r = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+    r = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
     triu_ones = jnp.where(r <= c, 1.0, 0.0)
     sa = jnp.dot(triu_ones, wa, preferred_element_type=jnp.float32) + ta_ref[:]
     sb = jnp.dot(triu_ones, wb, preferred_element_type=jnp.float32) + tb_ref[:]
@@ -169,7 +185,8 @@ def _update_apply_kernel(q_ref, acol_ref, bcol_ref, g_ref, s_ref,
                          newq_ref, pre_ref, ta_ref, tb_ref, *, nb):
     """Stage C + P' g: each row panel of the UPDATED Q contributes
     panel^T (panel @ g) to pre — order-independent, so it rides the
-    reversed sweep free of extra traffic."""
+    reversed sweep free of extra traffic. g and pre travel as (1, n) lane
+    rows ((n, 1) columns lane-pad x128 in VMEM)."""
     i = pl.program_id(0)
     newq = _update_body(q_ref, acol_ref, bcol_ref, s_ref, newq_ref,
                         ta_ref, tb_ref)
@@ -178,21 +195,25 @@ def _update_apply_kernel(q_ref, acol_ref, bcol_ref, g_ref, s_ref,
     def _():
         pre_ref[:] = jnp.zeros_like(pre_ref)
 
-    u = jnp.dot(newq, g_ref[:], preferred_element_type=jnp.float32)
-    pre_ref[:] += jax.lax.dot_general(
-        newq, u, (((0,), (0,)), ((), ())),
+    u = jax.lax.dot_general(
+        newq, g_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )  # (BLK, 1) = panel @ g
+    pre_ref[:] += jax.lax.dot_general(
+        u, newq, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, n) += u^T @ panel
 
 
 # ------------------------------------------------------------------ wrapper
 
 def _stages(q, v, h, step, tiny, interpret, g=None):
     n = q.shape[0]
-    np_ = _cdiv(n, BLK) * BLK
+    blk = _blk(_cdiv(n, BLK_BIG) * BLK_BIG)
+    np_ = _cdiv(n, blk) * blk
     if np_ > MAX_N:
         raise ValueError(f"gridded dense update cap is n <= {MAX_N}")
-    nb = np_ // BLK
+    nb = np_ // blk
     f32 = jnp.float32
 
     qp = q
@@ -201,31 +222,37 @@ def _stages(q, v, h, step, tiny, interpret, g=None):
         qp = qp + jnp.diag(
             jnp.concatenate([jnp.zeros((n,), f32), jnp.ones((np_ - n,), f32)])
         )
-    vcol = jnp.zeros((np_, 1), f32).at[:n, 0].set(v)
-    hcol = jnp.zeros((np_, 1), f32).at[:n, 0].set(h)
+    vrow = jnp.zeros((1, np_), f32).at[0, :n].set(v)
+    hrow = jnp.zeros((1, np_), f32).at[0, :n].set(h)
 
-    col_blk = pl.BlockSpec((BLK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    col_blk = pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
-    full_col = rep((np_, 1))
     full_row = rep((1, np_))
 
-    # diagonal blocks for the row-form solve, gathered in XLA (tiny);
-    # inverted in ONE batched Newton chain at the kernel's step 0
+    # diagonal blocks for the row-form solve, gathered + inverted in XLA
+    # as ONE batched Newton chain (a batched-matmul chain XLA schedules as
+    # well as a kernel would); the probe stage STREAMS one inverse per grid
+    # step — keeping all nb resident cost 2 x nb x BLK^2 floats of scoped
+    # VMEM and OOM'd the 100 MB limit at n = 8192
     diags = jnp.stack(
-        [qp[j * BLK:(j + 1) * BLK, j * BLK:(j + 1) * BLK] for j in range(nb)]
+        [qp[j * blk:(j + 1) * blk, j * blk:(j + 1) * blk] for j in range(nb)]
     )
-    row_blk = pl.BlockSpec((1, BLK), lambda j: (0, j), memory_space=pltpu.VMEM)
+    invs = tri_mod._newton_inv_batched(diags)
+    inv_blk = pl.BlockSpec(
+        (1, blk, blk), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    row_blk = pl.BlockSpec((1, blk), lambda j: (0, j), memory_space=pltpu.VMEM)
     row_panel = pl.BlockSpec(
-        (BLK, np_), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (blk, np_), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
 
     # stage AB: a = Q h and b = Q^{-T} v in one CONTIGUOUS row-panel pass
     brow, acol = pl.pallas_call(
         functools.partial(_probe_kernel, nb=nb),
         grid=(nb,),
-        in_specs=[row_panel, row_blk, rep((np_, 1)), rep((nb, BLK, BLK))],
+        in_specs=[row_panel, row_blk, full_row, inv_blk],
         out_specs=(row_blk, col_blk),
         out_shape=(
             jax.ShapeDtypeStruct((1, np_), f32),
@@ -233,11 +260,10 @@ def _stages(q, v, h, step, tiny, interpret, g=None):
         ),
         scratch_shapes=[
             pltpu.VMEM((1, np_), f32),
-            pltpu.VMEM((nb, BLK, BLK), f32),
         ],
         interpret=interpret,
         compiler_params=_params(),
-    )(qp, vcol.reshape(1, np_), hcol, diags)
+    )(qp, vrow, hrow, invs)
     bcol = brow.reshape(np_, 1)
 
     # stage B2: the exact step normalizer from a, b alone
@@ -254,10 +280,10 @@ def _stages(q, v, h, step, tiny, interpret, g=None):
 
     # stage C: reversed row panels, running reverse-cumsum carries
     rev_panel = pl.BlockSpec(
-        (BLK, np_), lambda i: (nb - 1 - i, 0), memory_space=pltpu.VMEM
+        (blk, np_), lambda i: (nb - 1 - i, 0), memory_space=pltpu.VMEM
     )
     rev_blk = pl.BlockSpec(
-        (BLK, 1), lambda i: (nb - 1 - i, 0), memory_space=pltpu.VMEM
+        (blk, 1), lambda i: (nb - 1 - i, 0), memory_space=pltpu.VMEM
     )
     if g is None:
         newq = pl.pallas_call(
@@ -273,22 +299,22 @@ def _stages(q, v, h, step, tiny, interpret, g=None):
         )(qp, acol, bcol, step0)
         return newq[:n, :n], None
 
-    gcol = jnp.zeros((np_, 1), f32).at[:n, 0].set(g)
+    grow = jnp.zeros((1, np_), f32).at[0, :n].set(g)
     newq, pre = pl.pallas_call(
         functools.partial(_update_apply_kernel, nb=nb),
         grid=(nb,),
-        in_specs=[rev_panel, rev_blk, rev_blk, full_col,
+        in_specs=[rev_panel, rev_blk, rev_blk, full_row,
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(rev_panel, full_col),
+        out_specs=(rev_panel, full_row),
         out_shape=(
             jax.ShapeDtypeStruct((np_, np_), f32),
-            jax.ShapeDtypeStruct((np_, 1), f32),
+            jax.ShapeDtypeStruct((1, np_), f32),
         ),
         scratch_shapes=[pltpu.VMEM((1, np_), f32), pltpu.VMEM((1, np_), f32)],
         interpret=interpret,
         compiler_params=_params(),
-    )(qp, acol, bcol, gcol, step0)
-    return newq[:n, :n], pre[:n, 0]
+    )(qp, acol, bcol, grow, step0)
+    return newq[:n, :n], pre[0, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("tiny", "interpret"))

@@ -263,6 +263,30 @@ def test_gridded_dense_matches_xla_path(n):
     np.testing.assert_allclose(got, np.triu(got), atol=1e-7)
 
 
+def test_gridded_dense_blk_big_path(monkeypatch):
+    """The BLK_BIG=128 panel schedule (routed for n > 8192, where 256-row
+    panels blew the scoped-VMEM limit on hardware) — exercised at an
+    interpret-tractable size by lowering the switch threshold."""
+    from psgd_tf_tpu.ops.pallas import dense_big
+
+    monkeypatch.setattr(dense_big, "BLK_SWITCH_N", 256)
+    n = 300  # > switch -> blk 128; non-multiple of 128 (identity pad)
+    key = jax.random.PRNGKey(12)
+    st = dense.init(n, 0.8)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+    h = jax.random.normal(jax.random.fold_in(key, 2), (n,))
+    g = jax.random.normal(jax.random.fold_in(key, 3), (n,))
+    ref = dense.update(st, v, h, step=0.05)
+    pre_ref = dense.apply(ref, g)
+    got_q, got_pre = dense_big.fused_update_apply(
+        st.Q, v, h, g, 0.05, TINY, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(ref.Q),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got_pre), np.asarray(pre_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 @pytest.mark.parametrize("n,r", [(64, 6), (130, 4)])
 def test_fused_splu_update_apply_matches_sequence(n, r):
     """splu fused update+apply (apply Gram rides stage 3, one map pass)
