@@ -184,6 +184,10 @@ def family_traffic_bytes(family: str, n: int, rank: int = 10) -> float:
       splu : VMEM-resident single launch at bench sizes: state read once
              + written once (4nr tails+corners) + probe/out vectors
              (ops/pallas/splu_one.py)                 -> (4nr + 10n) * 4 B
+      splu_big: beyond the VMEM budget the 3-pass streaming kernel
+             (splu_upd.py) reads the 2 rank-major tails three times +
+             writes once (8nr), and the separate XLA apply re-reads them
+             (2nr), + probe/out vectors            -> (10nr + 12n) * 4 B
       dense: gridded fused update+apply: Q read twice (probe pass, update
              sweep) + written once, P'g riding the sweep
              (ops/pallas/dense_big.py)                     -> 3n^2 * 4 B
@@ -194,6 +198,7 @@ def family_traffic_bytes(family: str, n: int, rank: int = 10) -> float:
         "shift": 10 * n,
         "lra": 8 * n * rank + 15 * n,
         "splu": 4 * n * rank + 10 * n,
+        "splu_big": 10 * n * rank + 12 * n,
         "dense": 3 * n * n,
     }[family]
 
@@ -202,6 +207,7 @@ def bench_family_nnz_per_sec(family: str, n: int, rank: int = 10) -> float:
     """Sequential update+apply throughput on a flat n-parameter problem."""
     from psgd_tf_tpu.groups import base
 
+    family = family.split("_")[0]  # splu_big -> splu (streaming regime row)
     fam = base.FLAT_FAMILIES[family]
 
     def make_state(rep: int):
@@ -321,7 +327,8 @@ def main():
 
     sizes = {
         "diag": 1 << 22, "xmat": 1 << 22, "shift": 1 << 22,
-        "lra": 1 << 20, "splu": 1 << 16, "dense": 1 << 12,
+        "lra": 1 << 20, "splu": 1 << 16, "splu_big": 1 << 20,
+        "dense": 1 << 12,
     }
     for famname, n in sizes.items():
         try:
@@ -332,6 +339,7 @@ def main():
                 nnz = {
                     "lra": 2 * n * 10 + n,
                     "splu": 2 * n * 10 + 2 * (n - 10),
+                    "splu_big": 2 * n * 10 + 2 * (n - 10),
                     "dense": n * (n + 1) // 2,
                     "diag": n,
                     "xmat": 2 * n,
