@@ -82,7 +82,14 @@ class UVd:
         )
         self._params = params_with_grad
         self._state = self._opt.init(params_with_grad, init_key)
-        self._jitted: dict[tuple[int, bool], Callable] = {}
+        # jit cache: key includes id(closure) for O(1) lookup, but each
+        # entry also HOLDS the closure strongly and checks identity on hit.
+        # Keying on id alone is unsound — CPython reuses addresses after
+        # GC, so a fresh closure allocated at a dead closure's id would
+        # silently run the old compiled program. Pinning the closure in
+        # the cache makes its id un-reusable while the entry lives, and
+        # the `is` check guards the impossible-by-construction residue.
+        self._jitted: dict[tuple, tuple[Callable, Callable]] = {}
         self.last_aux: dict[str, jax.Array] = {}
 
     # ------------------------------------------------------------ properties
@@ -167,7 +174,8 @@ class UVd:
         """
         cache_key = (id(closure), self._opt.exact_hessian_vector_product,
                      self._opt.preconditioner_update_probability >= 1.0)
-        step_fn = self._jitted.get(cache_key)
+        entry = self._jitted.get(cache_key)
+        step_fn = entry[1] if entry is not None and entry[0] is closure else None
         if step_fn is None:
             def scalar_loss(p, *a):
                 out = closure(p, *a)
@@ -185,7 +193,7 @@ class UVd:
                 return p2, s2, aux, out
 
             step_fn = jax.jit(raw)
-            self._jitted[cache_key] = step_fn
+            self._jitted[cache_key] = (closure, step_fn)
 
         self._key, sub = jax.random.split(self._key)
         self._params, self._state, self.last_aux, out = step_fn(

@@ -38,9 +38,12 @@ def _probe(key, n):
 
 
 def _compare(name, got, ref, tol):
+    # strict zip: a pytree-structure mismatch between the pallas and
+    # kernels-off paths must be a FAIL, not a silently truncated compare
     worst = max(
         _rel(g, r) for g, r in zip(jax.tree_util.tree_leaves(got),
-                                   jax.tree_util.tree_leaves(ref))
+                                   jax.tree_util.tree_leaves(ref),
+                                   strict=True)
     )
     status = "OK " if worst < tol else "FAIL"
     print(f"{status} {name}: rel={worst:.2e} (tol {tol:.0e})", flush=True)
@@ -52,8 +55,12 @@ def check_dense():
     from psgd_tf_tpu.groups import dense
     from psgd_tf_tpu.ops.pallas import dense_big, dense_upd
 
+    # sizes cover every routed schedule at its tightest point: the
+    # resident cap, BLK_SWITCH_N (largest BLK=256 gridded size — the
+    # scoped-VMEM point that OOM'd pre-fix), an off-multiple BLK_BIG
+    # size, and the BLK_BIG cap.
     ok = True
-    for n in (dense_upd.MAX_N, 9000, dense_big.MAX_N):
+    for n in (dense_upd.MAX_N, dense_big.BLK_SWITCH_N, 9000, dense_big.MAX_N):
         key = jax.random.PRNGKey(n)
         st = dense.init(n, 0.9)
         v, h, g = (_probe(jax.random.fold_in(key, i), n) for i in range(3))
