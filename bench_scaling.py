@@ -151,12 +151,25 @@ def comm_models(n: int, rank: int) -> dict:
     ('shard' axis) payloads are RANK-SPACE only by design; the
     data-parallel gradient+Hvp reduction dominates every family and is
     common to any DP optimizer."""
+    from jax.sharding import PartitionSpec as P
+
     from psgd_tf_tpu.parallel import overlap
 
-    return {
+    out = {
         fam: overlap.comm_model(fam, n, rank)
         for fam in ("lra", "splu", "dense", "diag", "xmat", "shift", "kron")
     }
+    # the kron-tp dryrun config (__graft_entry__.dryrun_multichip): six
+    # (24, 24) params alternating col-/row-sharded over shard=2 — the
+    # per-param DP + gather accounting the TP path actually incurs
+    shapes = [(24, 24)] * 6
+    specs = [P(None, "shard") if i % 2 == 0 else P("shard", None)
+             for i in range(6)]
+    out["kron-tp-dryrun"] = overlap.comm_model(
+        "kron", rank=rank, param_shapes=shapes, param_specs=specs,
+        mesh_shape={"data": 4, "shard": 2},
+    )
+    return out
 
 
 def main():

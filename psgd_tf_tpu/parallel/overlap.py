@@ -57,15 +57,36 @@ def ring_max(x: jax.Array, axis_name: str, n_devices: int) -> jax.Array:
     return ring_reduce(x, axis_name, n_devices, op=jnp.maximum)
 
 
-def comm_model(family: str, n_params: int, rank: int = 10,
-               dtype_bytes: int = 4) -> dict[str, Any]:
+def comm_model(family: str, n_params: int | None = None, rank: int = 10,
+               dtype_bytes: int = 4,
+               param_shapes: list[tuple[int, ...]] | None = None,
+               param_specs: list | None = None,
+               mesh_shape: dict[str, int] | None = None) -> dict[str, Any]:
     """Analytic bytes exchanged per SHARDED training step, per device pair
     of collectives (payload, not wire framing) — computable today,
     measurable when multi-chip hardware exists.
 
-    Two independent terms:
-      * data parallelism: the loss gradient AND the Hvp probe reduce over
-        the `data` axis every step -> 2 * n_params * dtype_bytes.
+    Replicated-params (pure DP) call: `comm_model(family, n_params)`.
+    Tensor-parallel call: pass `param_shapes` (per-param shapes),
+    `param_specs` (aligned `jax.sharding.PartitionSpec`s or None; the
+    contract of `parallel.step.build_sharded_step(param_specs=...)`) and
+    `mesh_shape` (e.g. `{"data": 4, "shard": 2}`); the DP term is then
+    computed PER PARAM from its local shard size rather than the
+    full-replication `2 * n_params`.
+
+    Terms:
+      * data parallelism: the loss gradient AND the Hvp probe all-reduce
+        over the `data` axis every step. A param sharded d ways over
+        `shard` contributes its LOCAL size (GSPMD reduces each shard
+        independently over `data`) -> 2 * sum(local sizes) * dtype_bytes.
+      * tensor parallelism: a `shard`-sharded param's probe (dX), Hvp (dG)
+        and gradient each all-gather at the preconditioner boundary — the
+        kron factor algebra and the flatten-concat families consume
+        replicated per-tensor views (parallel/step.py docstring: "GSPMD
+        gathering each TP layer's probe at the shard_map boundary").
+        Per-device received payload per gather of a size-s param sharded
+        d ways: s * (d-1)/d elements -> 3 gathers per sharded param.
+        (The preconditioned-grad slice back to the shard is local.)
       * preconditioner state sharding over `shard`: only RANK-SPACE
         quantities cross devices (the design invariant of every family's
         sharded kernel); O(n) state never moves.
@@ -84,13 +105,53 @@ def comm_model(family: str, n_params: int, rank: int = 10,
         "shift": 0,
         "kron": 0,
     }[family]
-    dp_payload = 2 * n_params * dtype_bytes
+
+    def _shard_degree(shape, spec):
+        if spec is None or mesh_shape is None:
+            return 1
+        d = 1
+        for axis_entry in tuple(spec):
+            for ax in (axis_entry if isinstance(axis_entry, tuple)
+                       else (axis_entry,)):
+                if ax is not None:
+                    d *= mesh_shape.get(ax, 1)
+        return d
+
+    if param_shapes is not None:
+        if param_specs is None:
+            param_specs = [None] * len(param_shapes)
+        if len(param_specs) != len(param_shapes):
+            raise ValueError("param_specs must align with param_shapes")
+        sizes = [int(_prod(s)) for s in param_shapes]
+        degrees = [_shard_degree(s, sp)
+                   for s, sp in zip(param_shapes, param_specs)]
+        n_params = sum(sizes)
+        dp_payload = 2 * sum(s // d for s, d in zip(sizes, degrees)) * dtype_bytes
+        tp_payload = 3 * sum(
+            s - s // d for s, d in zip(sizes, degrees)
+        ) * dtype_bytes
+        n_tp = sum(1 for d in degrees if d > 1)
+    else:
+        if n_params is None:
+            raise ValueError("pass n_params or param_shapes")
+        dp_payload = 2 * n_params * dtype_bytes
+        tp_payload = 0
+        n_tp = 0
     return {
         "family": family,
         "n_params": n_params,
         "rank": rank,
         "dp_bytes_per_step": dp_payload,
+        "tp_gather_bytes_per_step": tp_payload,
+        "tp_sharded_params": n_tp,
         "shard_bytes_per_step": shard_payload,
         "shard_to_state_ratio": shard_payload
         / max(1, n_params * dtype_bytes),
     }
+
+
+def _prod(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out
