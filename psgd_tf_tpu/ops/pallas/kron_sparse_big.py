@@ -44,9 +44,15 @@ from psgd_tf_tpu.ops import linalg
 from psgd_tf_tpu.ops.pallas import tri as tri_mod
 from psgd_tf_tpu.ops.pallas.tri import BS, VMEM_LIMIT
 
-MAX_LANES = 131072    # padded minor-axis cap: (1, np) factor rows and the
-                      # rep-mapped accumulators stay ~0.5MB each in VMEM;
-                      # the row-panel grid still streams the O(mn) probes
+MAX_LANES = 131072    # padded minor-axis cap for the 1-D-grid ns kernel:
+                      # (1, np) factor rows and the rep-mapped accumulators
+                      # stay ~0.5MB each in VMEM; the row-panel grid still
+                      # streams the O(mn) probes
+LANE_BLK = 32768      # lane-panel width of the WIDE ns path's 2-D grid
+MAX_LANES_NS = 1 << 23  # wide-path sanity cap: nothing lane-sized is
+                      # VMEM-resident, so the scale side reaches the
+                      # reference's [1e6, 1e6] guidance (ref README.md:54);
+                      # the m x n probe itself (HBM) is the real limiter
 MAX_DENSE = 1024      # dense-factor side cap (matches kron_dd.MAX_SIDE)
 PANEL_BYTES = 2 << 20  # target panel size per streamed input
 
@@ -83,8 +89,8 @@ def _tdot(a, b):  # a^T @ b
 
 def fits_grid(kind: str, m: int, n: int) -> bool:
     """Shapes the streaming kernels accept (beyond kron_sparse.fits)."""
-    if kind == "ns":    # arrow rows stream; scale lanes resident
-        return _cdiv(n, 128) * 128 <= MAX_LANES
+    if kind == "ns":    # lanes resident (1-D grid) or streamed (wide path)
+        return _cdiv(n, 128) * 128 <= MAX_LANES_NS
     if kind == "nd":    # arrow rows stream; dense factor resident
         return n <= MAX_DENSE
     if kind == "ds":    # scale cols stream; dense factor resident
@@ -117,6 +123,39 @@ def _kernel_ns_big(dx_ref, dg_ref, ql0_ref, ql1_ref, w_ref, qr_ref,
 
     corr_ref[:] += jnp.sum(w_ref[:] * dx, axis=0, keepdims=True)
     colsum_ref[:] += jnp.sum(d2, axis=0, keepdims=True)
+
+
+def _kernel_ns_wide(dx_ref, dg_ref, ql0_ref, ql1_ref, w_ref, qr_ref,
+                    dgl_ref, corr_ref, colsum_ref, *, m, blk):
+    """Lane-space accumulators for the WIDE (norm, scale) update.
+
+    2-D grid: lane panels OUTER (j), row panels INNER (i), so the (1, lblk)
+    corr/colsum blocks (mapped to j) stay VMEM-resident across the whole
+    inner row sweep — consecutive grid steps, init at i == 0. Row-space
+    reductions (diag, biasa) are NOT computed here: Mosaic rejects their
+    natural (blk, 1)-over-(mp, nj) partial layout (minor block dim must be
+    128-divisible or whole; verified on-chip r4), and every alternative
+    either re-visits an output block non-consecutively or keeps something
+    lane-sized resident. They fold into the XLA sweep the algorithm
+    already needs after corr (see fused_update_ns) — total traffic 4mn
+    (kernel dX+dG, XLA dX+dG) vs the resident path's 3mn."""
+    i = pl.program_id(1)
+    rows = i * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+    mask = rows != (m - 1)  # last row's stats are patched in XLA post
+    dx = dx_ref[:]
+    dxm = jnp.where(mask, dx, 0.0)
+    dgm = jnp.where(mask, dg_ref[:], 0.0)
+    qr = qr_ref[:]
+    a = (ql0_ref[:] * dgm + ql1_ref[:] * dgl_ref[:]) * qr
+    bt = dxm / ql0_ref[:] / qr
+
+    @pl.when(i == 0)
+    def _():
+        corr_ref[:] = jnp.zeros_like(corr_ref)
+        colsum_ref[:] = jnp.zeros_like(colsum_ref)
+
+    corr_ref[:] += jnp.sum(w_ref[:] * dx, axis=0, keepdims=True)
+    colsum_ref[:] += jnp.sum(a * a - bt * bt, axis=0, keepdims=True)
 
 
 def _kernel_nd_big(dx_ref, dg_ref, ql0_ref, ql1_ref, w_ref, qr_ref,
@@ -206,13 +245,17 @@ def _pad_rows_blk(x, mp, fill=0.0):
 @functools.partial(jax.jit, static_argnames=("tiny", "interpret"))
 def fused_update_ns(ql, qr, dX, dG, step, tiny: float,
                     interpret: bool = False):
-    """(norm, scale) streaming update for arbitrary m; ql: (2, m), qr: (n,).
+    """(norm, scale) streaming update for arbitrary m AND n; ql: (2, m),
+    qr: (n,).
 
-    One gridded pass over (dX, dG) + one XLA dX matvec (see module
-    docstring for why the bias term forces it)."""
+    Lanes <= MAX_LANES: one gridded pass over (dX, dG) + one XLA dX matvec
+    (see module docstring for why the bias term forces it). Wider scale
+    sides route to the 2-D-grid wide path (_kernel_ns_wide)."""
     f32 = jnp.float32
     m, n = dX.shape
     np_ = _cdiv(n, 128) * 128
+    if np_ > MAX_LANES:
+        return _fused_update_ns_wide(ql, qr, dX, dG, step, tiny, interpret)
     blk = _blk_major(np_)
     mp = _cdiv(m, blk) * blk
     step = jnp.asarray(step, f32)
@@ -261,6 +304,77 @@ def fused_update_ns(ql, qr, dX, dG, step, tiny: float,
     diag = diag0[:m, 0].at[m - 1].set(jnp.sum(A_last**2 - B_last**2))
     btdot = (dX @ (B_last / qr_b)) / ql0                  # the second dX pass
     bias = (biasa[:m, 0] - btdot).at[m - 1].set(0.0)
+    grad2 = colsum[0, :n] + A_last**2 - B_last**2
+    return _norm_post(ql0, ql1, diag, bias, jnp.max(jnp.abs(grad2)),
+                      step, tiny, True, qr_b, grad2)
+
+
+def _fused_update_ns_wide(ql, qr, dX, dG, step, tiny: float,
+                          interpret: bool = False):
+    """(norm, scale) update for scale sides past MAX_LANES (the reference's
+    [1e6, 1e6] regime, README.md:54). The 2-D-grid kernel streams (dX, dG)
+    once for the lane-space accumulators; the row-space reductions ride
+    the XLA sweep that corr gates anyway (see _kernel_ns_wide)."""
+    f32 = jnp.float32
+    m, n = dX.shape
+    lblk = min(_cdiv(n, 128) * 128, LANE_BLK)
+    np_ = _cdiv(n, lblk) * lblk
+    blk = _blk_major(lblk)
+    mp = _cdiv(m, blk) * blk
+    step = jnp.asarray(step, f32)
+
+    # balance (ref :341-346)
+    rho = jnp.sqrt(jnp.max(ql[0]) / jnp.max(qr))
+    ql = ql / rho
+    qr_b = rho * qr
+    ql0, ql1 = ql[0], ql[1]
+
+    dX_last, dG_last = dX[-1], dG[-1]
+    A_last = ql0[-1] * dG_last * qr_b                     # (n,)
+    w = ql1 / (ql0 * ql0[-1])                             # w[-1] = 0
+
+    colb = lambda x, fill: _pad_rows_blk(x[:, None], mp, fill)
+    rowspec = pl.BlockSpec((blk, lblk), lambda j, i: (i, j),
+                           memory_space=pltpu.VMEM)
+    vecspec = pl.BlockSpec((blk, 1), lambda j, i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    lanespec = pl.BlockSpec((1, lblk), lambda j, i: (0, j),
+                            memory_space=pltpu.VMEM)
+
+    corr, colsum = pl.pallas_call(
+        functools.partial(_kernel_ns_wide, m=m, blk=blk),
+        grid=(np_ // lblk, mp // blk),
+        in_specs=[rowspec, rowspec, vecspec, vecspec, vecspec,
+                  lanespec, lanespec],
+        out_specs=(lanespec, lanespec),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, np_), f32),
+            jax.ShapeDtypeStruct((1, np_), f32),
+        ),
+        interpret=interpret,
+        compiler_params=_params(),
+    )(
+        _pad_rows_blk(_pad_cols(dX, np_), mp),
+        _pad_rows_blk(_pad_cols(dG, np_), mp),
+        colb(ql0, 1.0), colb(ql1, 0.0), colb(w, 0.0),
+        _pad_cols(qr_b[None, :], np_, 1.0),
+        _pad_cols(dG_last[None, :], np_, 0.0),
+    )
+
+    corr = corr[0, :n]
+    B_last = (dX_last / ql0[-1] - corr) / qr_b
+    # one XLA sweep over (dX, dG): the row-space reductions + the bias
+    # matvec that corr gates. Row mask excludes the last (arrow) row;
+    # XLA fuses the elementwise producers into the reductions.
+    rmask = (jnp.arange(m) != m - 1)[:, None]
+    a = jnp.where(rmask, ql0[:, None] * dG + ql1[:, None] * dG_last[None, :],
+                  0.0) * qr_b[None, :]
+    bt = jnp.where(rmask, dX, 0.0) / ql0[:, None] / qr_b[None, :]
+    diag = jnp.sum(a * a - bt * bt, axis=1)
+    biasa = a @ A_last
+    btdot = (dX @ (B_last / qr_b)) / ql0
+    diag = diag.at[m - 1].set(jnp.sum(A_last**2 - B_last**2))
+    bias = (biasa - btdot).at[m - 1].set(0.0)
     grad2 = colsum[0, :n] + A_last**2 - B_last**2
     return _norm_post(ql0, ql1, diag, bias, jnp.max(jnp.abs(grad2)),
                       step, tiny, True, qr_b, grad2)

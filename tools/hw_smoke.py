@@ -118,11 +118,18 @@ def check_kron():
     shapes = {
         ("norm", "dense"): (131072, 512),
         ("norm", "scale"): (65536, 8192),
+        # multi-lane-panel ns (nj > 1, 2-D grid) past the old 131072
+        # resident-lane cap, toward the reference's [1e6, 1e6] guidance.
+        # m stays small: the m x n probe itself is the HBM limiter (a
+        # (1e4, 1e6) probe would be 40 GB), and the XLA oracle holds
+        # several m x n temporaries live.
+        ("norm", "scale", "wide"): (128, 1_000_000),
         ("dense", "scale"): (512, 131072),
         ("dense", "dense"): (kron_dd.MAX_SIDE, kron_dd.MAX_SIDE),
     }
     ok = True
     for fmt, shape in shapes.items():
+        fmt = fmt[:2]  # strip disambiguation tags
         key = jax.random.PRNGKey(shape[0] ^ shape[1])
         st = kron.init(shape, fmt=fmt, init_scale=0.9)
         dX = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
