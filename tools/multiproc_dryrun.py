@@ -1,0 +1,230 @@
+"""Multi-PROCESS (multi-controller) dryrun: the pod-slice execution model
+on one machine.
+
+Every other distributed artifact in this repo (tests, dryrun, SCALING)
+runs ONE process with 8 virtual devices — single-controller GSPMD. The
+north star is multi-host pod-slice scaling (BASELINE.md), whose execution
+model is different in kind: one JAX controller per host, a mesh spanning
+processes, per-process data feeding, and cross-process collectives. This
+tool exercises exactly that, locally: it spawns TWO worker processes x 4
+CPU devices each, wires them with `jax.distributed.initialize` (Gloo
+collectives), and validates 10-step sharded PSGD trajectories against an
+in-process single-device replay with the same probes/coins, under BOTH
+mesh/process alignments:
+
+  * dp-cross (default device order): the `data` axis spans processes —
+    gradient/Hvp psums ride the inter-process link, preconditioner shard
+    collectives stay intra-process (the realistic pod layout: DP over
+    DCN, state sharding over ICI). The batch is fed per-process: each
+    worker materializes only ITS half of the global batch
+    (`jax.make_array_from_process_local_data`).
+  * shard-cross (interleaved device order): the `shard` axis spans
+    processes — the psum'd rank-space Grams, pmax'd step normalizers,
+    and TP param gathers all cross the process boundary, and kron-tp's
+    parameter shards physically live on different processes.
+
+Families: lra + splu + tensor-parallel kron in dp-cross; lra + kron-tp in
+shard-cross. What this proves that nothing else in the repo does (VERDICT
+r3 ask #1): `parallel.build_sharded_step` compiles and runs under
+multi-controller SPMD (docs/design.md:119's so-far-untested claim), with
+host-local -> global promotion for params/state and trajectory parity
+with the single-process math.
+
+Run:  python tools/multiproc_dryrun.py           (launcher; ~3 min)
+      python tools/multiproc_dryrun.py --worker N    (internal)
+
+Reference: the reference is single-device TF (SURVEY.md §2.4); this axis
+exists because BASELINE.md demands it.
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+COORD = "localhost:29741"
+NPROC = 2
+LOCAL_DEVICES = 4
+STEPS = 10
+
+
+# --------------------------------------------------------------- worker
+
+def worker(process_id: int) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", LOCAL_DEVICES)
+    jax.distributed.initialize(
+        coordinator_address=COORD, num_processes=NPROC, process_id=process_id
+    )
+    assert jax.device_count() == NPROC * LOCAL_DEVICES
+    assert jax.local_device_count() == LOCAL_DEVICES
+
+    import numpy as np
+    import jax.numpy as jnp
+    from functools import partial
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from psgd_tf_tpu import PSGD
+    from psgd_tf_tpu.parallel import build_sharded_step, make_mesh, policies
+
+    # ---- model: the 6-layer MLP of the single-process dryrun ----------
+    key = jax.random.PRNGKey(0)
+    widths = [(24, 24)] * 6
+    mlp = [
+        0.5 * jax.random.normal(jax.random.fold_in(key, i), s)
+        for i, s in enumerate(widths)
+    ]
+    batch_global = 2 * NPROC * LOCAL_DEVICES  # 16 rows, 4-way data axis
+    x_full = jax.random.normal(jax.random.fold_in(key, 99), (batch_global, 24))
+
+    def mlp_loss(ws, x):
+        y = x
+        for w in ws:
+            y = jnp.tanh(y @ w)
+        return jnp.mean(jnp.sum(y * y, axis=-1))
+
+    devs = jax.devices()  # ordered by process: [p0 x4, p1 x4]
+
+    def interleaved(ds):
+        """(4, 2) mesh order in which BOTH axes mix the two processes:
+        rows (a0,b0),(b1,a1),(a2,b2),(b3,a3) -> every data column and
+        every shard row contains devices of both processes."""
+        a, b = ds[:LOCAL_DEVICES], ds[LOCAL_DEVICES:]
+        order = [a[0], b[0], b[1], a[1], a[2], b[2], b[3], a[3]]
+        return order
+
+    meshes = {
+        "dp-cross": make_mesh(data=4, shard=2, devices=devs),
+        "shard-cross": make_mesh(data=4, shard=2, devices=interleaved(devs)),
+    }
+
+    def globalize(tree, shardings):
+        """Promote host-local (full-value) arrays to global arrays under
+        ANY sharding/ordering: every process holds the full value, the
+        callback materializes exactly its addressable shards."""
+        def one(x, sh):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+        return jax.tree_util.tree_map(one, tree, shardings)
+
+    configs = {
+        "lra": (PSGD(preconditioner="lra", rank=4, lr_params=0.05,
+                     grad_clip_max_norm=1.0), None, ("dp-cross", "shard-cross")),
+        "splu": (PSGD(preconditioner="splu", rank=4, lr_params=0.05,
+                      grad_clip_max_norm=1.0), None, ("dp-cross",)),
+        "kron-tp": (
+            PSGD(preconditioner="kron",
+                 kron_formats=[("dense", "dense")] * len(mlp),
+                 kron_batched=False, lr_params=0.05, grad_clip_max_norm=1.0),
+            [P(None, "shard") if i % 2 == 0 else P("shard", None)
+             for i in range(len(mlp))],
+            ("dp-cross", "shard-cross"),
+        ),
+    }
+
+    failures = []
+    for name, (opt, param_specs, mesh_names) in configs.items():
+        for mesh_name in mesh_names:
+            mesh = meshes[mesh_name]
+            rep = NamedSharding(mesh, P())
+            k_fam = jax.random.fold_in(key, abs(hash(name)) % (1 << 30))
+            k_opt, k_run = jax.random.split(k_fam)
+            state = opt.init(mlp, k_opt)
+
+            if param_specs is None:
+                param_sh = [rep] * len(mlp)
+            else:
+                param_sh = [NamedSharding(mesh, sp) for sp in param_specs]
+            state_sh = policies.state_sharding(mesh, state)
+
+            sharded = build_sharded_step(
+                opt, mlp_loss, mesh, state, mlp, donate=False,
+                param_specs=param_specs,
+            )
+            single = jax.jit(partial(opt.step, mlp_loss))
+
+            if mesh_name == "dp-cross":
+                # true per-process feeding: this worker materializes only
+                # ITS half of the batch (data rows {0,1} / {2,3})
+                rows = batch_global // NPROC
+                x_local = np.asarray(
+                    x_full[process_id * rows : (process_id + 1) * rows]
+                )
+                x_g = jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, P("data")), x_local,
+                    (batch_global, 24),
+                )
+            else:
+                x_g = globalize(x_full, NamedSharding(mesh, P("data")))
+
+            p_s = globalize(mlp, param_sh)
+            s_s = globalize(state, state_sh)
+            p_1, s_1 = mlp, state
+            k = k_run
+            losses_s = []
+            for _ in range(STEPS):
+                k, sub = jax.random.split(k)
+                p_s, s_s, aux_s = sharded(p_s, s_s, globalize(sub, rep), x_g)
+                p_1, s_1, aux_1 = single(p_1, s_1, sub, x_full)
+                losses_s.append(float(aux_s["loss"]))
+
+            ok = all(np.isfinite(losses_s)) and losses_s[-1] < losses_s[0]
+            # full-trajectory parameter agreement; TP shards live on BOTH
+            # processes under shard-cross, so allgather before comparing
+            worst = 0.0
+            for a, b in zip(p_s, p_1):
+                a_np = np.asarray(
+                    multihost_utils.process_allgather(a, tiled=True)
+                )
+                scale = float(jnp.max(jnp.abs(b))) + 1e-6
+                worst = max(
+                    worst, float(np.max(np.abs(a_np - np.asarray(b)))) / scale
+                )
+            ok = ok and worst < 2e-2
+            line = (f"[mp-dryrun p{process_id}] {name} @ {mesh_name}: "
+                    f"{losses_s[0]:.4f}->{losses_s[-1]:.4f} "
+                    f"(rel dev {worst:.1e})" + ("" if ok else "  FAIL"))
+            print(line, flush=True)
+            if not ok:
+                failures.append(f"{name}@{mesh_name}")
+
+    multihost_utils.sync_global_devices("mp_dryrun_done")
+    if failures:
+        print(f"[mp-dryrun p{process_id}] FAILURES: {failures}", flush=True)
+        sys.exit(1)
+    print(f"[mp-dryrun p{process_id}] OK", flush=True)
+
+
+# -------------------------------------------------------------- launcher
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        worker(int(sys.argv[sys.argv.index("--worker") + 1]))
+        return
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # worker pins cpu itself (axon site
+    # config would otherwise grab the TPU tunnel in both processes)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(i)],
+            env=env,
+        )
+        for i in range(NPROC)
+    ]
+    rcs = [p.wait() for p in procs]
+    ok = all(rc == 0 for rc in rcs)
+    print(f"multiproc_dryrun: {NPROC} processes x {LOCAL_DEVICES} devices "
+          f"-> {'OK' if ok else f'FAIL (rcs={rcs})'}", flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
