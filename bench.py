@@ -87,7 +87,15 @@ def time_chained(step_fn, make_state, iters: int = 100, reps: int = 3):
         t_l = time.perf_counter() - t0
         slopes.append((t_l - t_s) / (long_ - short))
     slopes.sort()
-    return slopes[len(slopes) // 2]  # median: robust to tunnel jitter
+    med = slopes[len(slopes) // 2]  # median: robust to tunnel jitter
+    # every rep's slope travels with the result so the headline artifact
+    # carries its own error bars (VERDICT r3: best-of-3 with no recorded
+    # spread let a 25% splu disagreement between artifacts go unnoticed)
+    spread = {
+        "slopes_us": [round(s * 1e6, 3) for s in slopes],
+        "rel_spread": round((slopes[-1] - slopes[0]) / max(med, 1e-12), 4),
+    }
+    return med, spread
 
 
 def bench_lenet5_steps_per_sec(batch_size: int = 64, chain: int = 200) -> float:
@@ -159,12 +167,48 @@ def measure_stream_bw(n: int = 1 << 25) -> float:
     measures ~49 TB/s), so per-family speed-of-light ratios below can
     legitimately exceed 1.0 when the family's state fits VMEM."""
     step = jax.jit(lambda x: x * 1.0000001 + 0.5)
-    dt = time_chained(
+    dt, _ = time_chained(
         step,
         lambda rep: jax.random.normal(jax.random.PRNGKey(rep), (n,)),
         iters=30,
     )
     return 8.0 * n / dt / 1e9
+
+
+# Per-buffer DMA-stream law, measured r3 (/tmp/dma_streams.py; CLAUDE.md):
+# a pallas kernel's HBM bandwidth is PER concurrently-streamed separate
+# buffer — ~226 GB/s with one, ~347 with two, ~888 with four (the chip's
+# real multi-stream bound). SHAPE-DEPENDENT operating points, not a law of
+# nature: the routed lra schedule (720KB blocks) sustains ~475 GB/s over 3
+# kernels, above the 2-buffer figure. The ledger below prints each routed
+# kernel's achieved GB/s next to this ceiling for its stream count so a
+# "% of saxpy bound" never again masquerades as "% of what THIS schedule
+# could reach" (VERDICT r3 weak #1).
+STREAM_LAW = {1: 226.0, 2: 347.0, 3: 620.0, 4: 888.0}
+
+# Concurrent separate-buffer streams in the family's dominant routed
+# kernel phase (counting gridded, non-replicated HBM operands incl.
+# streamed outputs; same-array multi-spec does not parallelize):
+ROUTED_STREAMS = {
+    "diag": 4,       # q, v|h packed, g, out + q' (VMEM-resident anyway)
+    "xmat": 4,       # folded state, probe pair, g, out/state'
+    "shift": 4,
+    "lra": 3,        # packed (2r, n) UV, v|h rows, out (3-kernel schedule)
+    "splu": 1,       # VMEM-resident single launch: latency-, not stream-bound
+    "splu_big": 2,   # rank-major L/U tails stream per pass (2 arrays)
+    "dense": 2,      # update sweep streams Q in AND Q' out concurrently
+                     # (r4 measured: 339-376 GB/s achieved = 98-108% of the
+                     # 2-buf law across n=4k/8k/16k — the dense "53% of
+                     # saxpy" plateau IS the 2-buffer ceiling)
+    "kron_nd": 2,    # dX, dG row panels
+    "kron_ns": 2,
+    "kron_ns_wide": 2,
+    "kron_ds": 2,
+}
+
+
+def _law_ceiling(streams: int) -> float:
+    return STREAM_LAW.get(streams, min(888.0, streams * 226.0))
 
 
 def family_traffic_bytes(family: str, n: int, rank: int = 10) -> float:
@@ -203,8 +247,23 @@ def family_traffic_bytes(family: str, n: int, rank: int = 10) -> float:
     }[family]
 
 
-def bench_family_nnz_per_sec(family: str, n: int, rank: int = 10) -> float:
-    """Sequential update+apply throughput on a flat n-parameter problem."""
+def family_nnz(family: str, n: int, rank: int = 10) -> int:
+    """Preconditioner state entries touched per update+apply pair."""
+    family = family.split("_")[0]
+    return {
+        "lra": 2 * n * rank + n,
+        "splu": 2 * n * rank + 2 * (n - rank),
+        "dense": n * (n + 1) // 2,
+        "diag": n,
+        "xmat": 2 * n,
+        "shift": 2 * n,
+    }[family]
+
+
+def bench_family_nnz_per_sec(family: str, n: int, rank: int = 10,
+                             iters: int = 100):
+    """Sequential update+apply throughput on a flat n-parameter problem.
+    Returns (nnz/s, slope spread dict)."""
     from psgd_tf_tpu.groups import base
 
     family = family.split("_")[0]  # splu_big -> splu (streaming regime row)
@@ -222,14 +281,7 @@ def bench_family_nnz_per_sec(family: str, n: int, rank: int = 10) -> float:
         h = jax.random.normal(jax.random.fold_in(key, 2), (n,))
         return st, v, h, key
 
-    nnz = {
-        "lra": 2 * n * rank + n,
-        "splu": 2 * n * rank + 2 * (n - rank),
-        "dense": n * (n + 1) // 2,
-        "diag": n,
-        "xmat": 2 * n,
-        "shift": 2 * n,
-    }[family]
+    nnz = family_nnz(family, n, rank)
 
     def step(carry):
         st, v, h, key = carry
@@ -243,13 +295,14 @@ def bench_family_nnz_per_sec(family: str, n: int, rank: int = 10) -> float:
         # thread the apply result back so neither op is dead code
         return st, v + 1e-30 * pre, h, key
 
-    dt = time_chained(step, make_state)
-    return nnz / dt
+    dt, spread = time_chained(step, make_state, iters=iters)
+    return nnz / dt, spread
 
 
 def bench_kron_sparse_gelem_per_sec(
-    fmt: tuple[str, str], shape: tuple[int, int]
-) -> tuple[float, float]:
+    fmt: tuple[str, str], shape: tuple[int, int], passes: int | None = None,
+    iters: int = 10,
+):
     """Sparse-format Kronecker update+apply throughput at reference-envelope
     probe shapes (ref README.md:54: (norm, dense) to [1e6, 1e3],
     (norm, scale) to [1e6, 1e6] of STATE; the m x n PROBES bound what any
@@ -264,7 +317,8 @@ def bench_kron_sparse_gelem_per_sec(
 
     m, n = shape
     arrow = "norm" in fmt
-    passes = (3 if arrow else 2) + 2
+    if passes is None:
+        passes = (3 if arrow else 2) + 2
 
     def make_state(rep: int):
         key = jax.random.PRNGKey(rep)
@@ -279,9 +333,9 @@ def bench_kron_sparse_gelem_per_sec(
         out = kron.apply(st, dG)
         return st, dX + 1e-30 * out, dG
 
-    dt = time_chained(step, make_state, iters=10, reps=3)
+    dt, spread = time_chained(step, make_state, iters=iters, reps=3)
     elems = float(m) * float(n)
-    return elems / dt, passes * elems * 4.0 / dt / 1e9
+    return elems / dt, passes * elems * 4.0 / dt / 1e9, spread
 
 
 def bench_nmt_step_us(exact: bool = False) -> float:
@@ -309,10 +363,10 @@ def bench_nmt_step_us(exact: bool = False) -> float:
         p, s, _ = opt.step(nmt.loss, p, s, sub, src, tgt)
         return (p, s, k)
 
-    dt = time_chained(
+    dt, spread = time_chained(
         step, lambda rep: (params, state, jax.random.PRNGKey(rep)), iters=30
     )
-    return dt * 1e6
+    return dt * 1e6, spread
 
 
 def main():
@@ -325,61 +379,93 @@ def main():
         results["hbm_stream_gb_per_sec"] = stream_bw
         log(f"HBM stream bound (128MB saxpy): {stream_bw:.0f} GB/s")
 
-    sizes = {
-        "diag": 1 << 22, "xmat": 1 << 22, "shift": 1 << 22,
-        "lra": 1 << 20, "splu": 1 << 16, "splu_big": 1 << 20,
-        "dense": 1 << 12,
-    }
-    for famname, n in sizes.items():
+    # (row name, family, n, chain iters). The three dense rows track every
+    # routed schedule: resident <= 1536 is covered by LeNet5; 4096 = BLK=256
+    # gridded; 8192 = largest BLK=256 size (the r3 scoped-VMEM bug point);
+    # 16384 = BLK_BIG cap (VERDICT r3 weak #3: the gridded regime had
+    # correctness coverage but no tracked throughput).
+    rows = [
+        ("diag", "diag", 1 << 22, 100),
+        ("xmat", "xmat", 1 << 22, 100),
+        ("shift", "shift", 1 << 22, 100),
+        ("lra", "lra", 1 << 20, 100),
+        ("splu", "splu", 1 << 16, 100),
+        ("splu_big", "splu_big", 1 << 20, 100),
+        ("dense", "dense", 1 << 12, 100),
+        ("dense_8k", "dense", 1 << 13, 20),
+        ("dense_16k", "dense", 1 << 14, 8),
+    ]
+    for rowname, famname, n, iters in rows:
         try:
-            nps = bench_family_nnz_per_sec(famname, n)
-            results[f"{famname}_nnz_per_sec"] = nps
+            nps, spread = bench_family_nnz_per_sec(famname, n, iters=iters)
+            results[f"{rowname}_nnz_per_sec"] = nps
+            results[f"{rowname}_slopes_us"] = spread["slopes_us"]
+            results[f"{rowname}_rel_spread"] = spread["rel_spread"]
             sol = ""
             if stream_bw:
-                nnz = {
-                    "lra": 2 * n * 10 + n,
-                    "splu": 2 * n * 10 + 2 * (n - 10),
-                    "splu_big": 2 * n * 10 + 2 * (n - 10),
-                    "dense": n * (n + 1) // 2,
-                    "diag": n,
-                    "xmat": 2 * n,
-                    "shift": 2 * n,
-                }[famname]
+                nnz = family_nnz(famname, n)
                 gbs = family_traffic_bytes(famname, n) * (nps / nnz) / 1e9
                 frac = gbs / stream_bw
-                results[f"{famname}_pct_of_stream_bound"] = frac
+                streams = ROUTED_STREAMS[famname]
+                law = _law_ceiling(streams)
+                results[f"{rowname}_pct_of_stream_bound"] = frac
+                results[f"{rowname}_achieved_gb_per_sec"] = gbs
+                results[f"{rowname}_pct_of_{streams}buf_law"] = gbs / law
                 sol = (
                     f"  traffic {gbs:6.0f} GB/s = {frac:5.1%} of HBM bound"
+                    f" | {gbs / law:5.1%} of {streams}-buf law ({law:.0f})"
                     + (" (VMEM-resident)" if frac > 1 else "")
                 )
-            log(f"{famname:6s} n={n:>8d}  {nps/1e9:8.3f} Gnnz/s{sol}")
+            log(f"{rowname:8s} n={n:>8d}  {nps/1e9:8.3f} Gnnz/s"
+                f" (spread {spread['rel_spread']:.1%}){sol}")
         except Exception as exc:  # noqa: BLE001 — report and continue
-            log(f"{famname} bench failed: {exc}")
+            log(f"{rowname} bench failed: {exc}")
 
     # sparse-format kron pairs at reference-envelope probe shapes
     # (README.md:54) — streamed by kron_sparse_big beyond the resident cap
+    # (fmt, shape, traffic passes or None for the default model, iters).
+    # kron_ns_wide: the wide-lane (norm, scale) path past the 131072
+    # resident-lane cap (VERDICT r3 ask #4) — the m stays modest because
+    # the m x n probe itself is the HBM limiter (a (1e4, 1e6) probe would
+    # be 40 GB); update = kernel 2mn + XLA row-sweep 2mn, apply 2mn -> 6.
     kron_shapes = {
-        "kron_nd": (("norm", "dense"), (131072, 512)),
-        "kron_ns": (("norm", "scale"), (65536, 8192)),
-        "kron_ds": (("dense", "scale"), (512, 131072)),
+        "kron_nd": (("norm", "dense"), (131072, 512), None, 10),
+        "kron_ns": (("norm", "scale"), (65536, 8192), None, 10),
+        "kron_ns_wide": (("norm", "scale"), (512, 1_000_000), 6, 6),
+        "kron_ds": (("dense", "scale"), (512, 131072), None, 10),
     }
-    for name, (fmt, shape) in kron_shapes.items():
+    for name, (fmt, shape, passes, iters) in kron_shapes.items():
         try:
-            gps, gbs = bench_kron_sparse_gelem_per_sec(fmt, shape)
+            gps, gbs, spread = bench_kron_sparse_gelem_per_sec(
+                fmt, shape, passes=passes, iters=iters
+            )
             results[f"{name}_gelem_per_sec"] = gps / 1e9
+            results[f"{name}_slopes_us"] = spread["slopes_us"]
+            results[f"{name}_rel_spread"] = spread["rel_spread"]
             sol = ""
             if stream_bw:
                 frac = gbs / stream_bw
+                streams = ROUTED_STREAMS[name]
+                law = _law_ceiling(streams)
                 results[f"{name}_pct_of_stream_bound"] = frac
-                sol = f"  traffic {gbs:6.0f} GB/s = {frac:5.1%} of HBM bound"
-            log(f"{name} {fmt} {shape}  {gps/1e9:8.3f} Gelem/s{sol}")
+                results[f"{name}_achieved_gb_per_sec"] = gbs
+                results[f"{name}_pct_of_{streams}buf_law"] = gbs / law
+                sol = (
+                    f"  traffic {gbs:6.0f} GB/s = {frac:5.1%} of HBM bound"
+                    f" | {gbs / law:5.1%} of {streams}-buf law ({law:.0f})"
+                )
+            log(f"{name} {fmt} {shape}  {gps/1e9:8.3f} Gelem/s"
+                f" (spread {spread['rel_spread']:.1%}){sol}")
         except Exception as exc:  # noqa: BLE001
             log(f"{name} bench failed: {exc}")
 
     try:
-        nmt_us = bench_nmt_step_us()
+        nmt_us, nmt_spread = bench_nmt_step_us()
         results["nmt_fd_step_us"] = nmt_us
-        log(f"nmt mixed-kron FD step: {nmt_us:.0f} us/step")
+        results["nmt_fd_slopes_us"] = nmt_spread["slopes_us"]
+        results["nmt_fd_rel_spread"] = nmt_spread["rel_spread"]
+        log(f"nmt mixed-kron FD step: {nmt_us:.0f} us/step "
+            f"(spread {nmt_spread['rel_spread']:.1%})")
     except Exception as exc:  # noqa: BLE001
         log(f"nmt bench failed: {exc}")
 
@@ -402,7 +488,10 @@ def main():
                 "value": round(sps, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(vs, 4),
-                "detail": {k: round(val, 3) for k, val in results.items()},
+                "detail": {
+                    k: val if isinstance(val, list) else round(val, 3)
+                    for k, val in results.items()
+                },
             }
         )
     )
