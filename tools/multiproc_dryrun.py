@@ -195,6 +195,48 @@ def worker(process_id: int) -> None:
             if not ok:
                 failures.append(f"{name}@{mesh_name}")
 
+            if name == "lra" and mesh_name == "dp-cross":
+                # orbax per-host shards (docs/design.md failure/recovery
+                # story): every process participates in the save of the
+                # SHARDED train state, then restores into the same
+                # sharding policy and resumes one more step
+                from psgd_tf_tpu.utils import checkpoint as ckpt
+
+                ckdir = os.environ["PSGD_MP_CKPT_DIR"]
+                ckpt.save(ckdir, 1, {"params": p_s, "opt": s_s})
+                multihost_utils.sync_global_devices("ckpt_saved")
+                restored = ckpt.restore(ckdir, 1,
+                                        like={"params": p_s, "opt": s_s})
+                r_leaves = jax.tree_util.tree_leaves(restored["params"])
+                for a, b in zip(r_leaves, p_s, strict=True):
+                    assert a.sharding == b.sharding
+                    # measured multi-controller fact (r4): the per-device
+                    # replicas of "replicated" arrays DRIFT (~3e-4 after
+                    # 10 steps here) because each rank's collective
+                    # reduction order differs — so a bitwise roundtrip
+                    # check against every shard is unsatisfiable BY
+                    # CONSTRUCTION. orbax persists one replica; restore
+                    # canonicalizes all devices to it. The restored array
+                    # must be internally consistent (all shards equal)
+                    # and within drift tolerance of the live state.
+                    r_shards = [np.asarray(s.data)
+                                for s in a.addressable_shards]
+                    for rs in r_shards[1:]:
+                        np.testing.assert_array_equal(r_shards[0], rs)
+                    for sa, sb in zip(a.addressable_shards,
+                                      b.addressable_shards):
+                        np.testing.assert_allclose(
+                            np.asarray(sa.data), np.asarray(sb.data),
+                            rtol=0, atol=5e-3)
+                k, sub = jax.random.split(k)
+                _, _, aux_r = sharded(
+                    restored["params"], restored["opt"], globalize(sub, rep),
+                    x_g,
+                )
+                assert np.isfinite(float(aux_r["loss"]))
+                print(f"[mp-dryrun p{process_id}] orbax per-host-shard "
+                      "checkpoint roundtrip + resume OK", flush=True)
+
     multihost_utils.sync_global_devices("mp_dryrun_done")
     if failures:
         print(f"[mp-dryrun p{process_id}] FAILURES: {failures}", flush=True)
@@ -209,9 +251,12 @@ def main() -> None:
         worker(int(sys.argv[sys.argv.index("--worker") + 1]))
         return
 
+    import tempfile
+
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # worker pins cpu itself (axon site
     # config would otherwise grab the TPU tunnel in both processes)
+    env["PSGD_MP_CKPT_DIR"] = tempfile.mkdtemp(prefix="psgd_mp_ckpt_")
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", str(i)],
