@@ -36,6 +36,29 @@ rule as the LRA kernels); the single Gram is the one MXU op.
 Sharded: `mesh`/`axis` wrap the three passes in one shard_map over the
 lane-partitioned tail with the Gram psum'd and the maxes pmax'd; the
 corner algebra runs redundantly per device on replicated corner blocks.
+
+Measured bound accounting (r4, real chip, n=1M r=10, VERDICT r3 ask #2):
+the whole update+apply pair's 224 GB/s effective (34% of the saxpy bound)
+is NOT a stream ceiling. Timed in isolation, each pass runs far above it
+— stage1 178 us / 848 GB/s, stage2 225 us / 672, stage3(+apply gram)
+551 us / 540, stage4 150 us / 1009 (6-8 concurrent separate buffers beat
+the 2-buffer per-buffer-law figure; the law is shape-dependent, see
+CLAUDE.md). The gap to the ~2050 us routed pair is STRUCTURE: the three
+passes are gated (gram -> corner algebra -> maxes -> step scalars ->
+rewrite), the r x r corner algebra between them is a latency chain of
+tiny ops, and the streaming-regime apply is a separate XLA chain
+(~365 us; the g-riding fused variant re-measured SLOWER end-to-end,
+5.5 vs 11.3 Gnnz/s, confirming the r2 routing). Lane-block size is NOT a
+lever: BLKN 4096/8192/16384 measured 221/229/231 GB/s (update_apply,
+spreads <2%); BLKN >= 32768 exceeds stage 3's 16MB default scoped-VMEM
+window. Nor is the corner chain: replacing the four sequential r x r
+triangular solves with one batched Newton inversion + matvecs (the
+splu_one design, kept below for consistency) measured 11.06 vs 11.26
+Gnnz/s — within spread. The gating structure itself is the bound, and it
+is reference semantics (the step normalizer needs max|grad| over the
+whole tail before any factor rewrite): each gated pass pays its DMA
+ramp-in serially, which is exactly the difference between the isolated
+per-stage rates above and the composed pair.
 """
 from __future__ import annotations
 
@@ -297,18 +320,42 @@ def _update_impl(L1, U1, dx1, dg1, L2t, U2, l3, u3, dx2, dg2,
     G_UwUw = gram[iw, iw]            # U2 diag(w^2) U2^T
     U2_w2dx = gram[iw, idx]          # U2 diag(w^2) dx2
 
-    # ---- corner algebra (ref :430-452), balance-invariant in Q = L U
+    # ---- corner algebra (ref :430-452), balance-invariant in Q = L U.
+    # The four r x r triangular solves on the critical path between the
+    # streaming passes are replaced by ONE batched Newton inversion of
+    # both corners + four matvecs (r4 latency lever; per-stage timing
+    # showed the passes themselves run at 540-1000 GB/s and the
+    # inter-stage corner chain is what separates the pair from its
+    # stream budget). Newton is exact for triangular blocks (nilpotent
+    # residual), same mixed-precision schedule as every other solve
+    # (tri._newton_inv_batched); identity padding via iota-mask, never
+    # index-array scatters (CLAUDE.md latency rule).
+    from psgd_tf_tpu.ops.pallas import tri as tri_mod
+
+    idx = jnp.arange(rp)
+    pad_eye = jnp.where((idx[:, None] == idx[None, :]) & (idx[:, None] >= r),
+                        1.0, 0.0).astype(f32)
+
+    def pad_corner(M):
+        return jnp.zeros((rp, rp), f32).at[:r, :r].set(M) + pad_eye
+
+    invs_c = tri_mod._newton_inv_batched(
+        jnp.stack([pad_corner(U1), pad_corner(L1)])
+    )
+    invU1 = invs_c[0][:r, :r]
+    invL1 = invs_c[1][:r, :r]
+
     Ug1 = U1 @ dg1 + U2_dg
     Qg1 = L1 @ Ug1
-    iUtx1 = linalg.solve_ut_t(U1, dx1)
+    iUtx1 = invU1.T @ dx1
     L2t_iqtx2 = L2t_dxw - G_LU_w @ iUtx1
-    iQtx1 = linalg.solve_lt_t(L1, iUtx1 - L2t_iqtx2)
+    iQtx1 = invL1.T @ (iUtx1 - L2t_iqtx2)
     L2t_qg2 = G_LL @ Ug1 + L2t_lug
     LtQg1 = L1.T @ Qg1 + L2t_qg2
     Pg1 = U1.T @ LtQg1
-    iLiQtx1 = linalg.solve_lt(L1, iQtx1)
+    iLiQtx1 = invL1 @ iQtx1
     U2_ipx2 = (U2_w2dx - G_UwUw @ iUtx1) - G_LU_w.T @ iLiQtx1
-    iPx1 = linalg.solve_ut(U1, iLiQtx1 - U2_ipx2)
+    iPx1 = invU1 @ (iLiQtx1 - U2_ipx2)
 
     # corner gradients (ref :455-460, :468-473)
     gl1 = linalg.tril(jnp.outer(Qg1, Qg1) - jnp.outer(iQtx1, iQtx1))
