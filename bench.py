@@ -183,7 +183,8 @@ def measure_stream_bw(n: int = 1 << 25) -> float:
 # kernels, above the 2-buffer figure. The ledger below prints each routed
 # kernel's achieved GB/s next to this ceiling for its stream count so a
 # "% of saxpy bound" never again masquerades as "% of what THIS schedule
-# could reach" (VERDICT r3 weak #1).
+# could reach" (VERDICT r3 weak #1). 1/2/4 are the r3 measured points;
+# 3 is interpolated (geometric-ish midpoint), not measured.
 STREAM_LAW = {1: 226.0, 2: 347.0, 3: 620.0, 4: 888.0}
 
 # Concurrent separate-buffer streams in the family's dominant routed
