@@ -123,6 +123,9 @@ def check_kron():
         # m stays small: the m x n probe itself is the HBM limiter (a
         # (1e4, 1e6) probe would be 40 GB), and the XLA oracle holds
         # several m x n temporaries live.
+        # the 1-D ns kernel at its exact resident-lane cap (the wide path
+        # takes over beyond MAX_LANES)
+        ("norm", "scale", "cap1d"): (512, 131072),
         ("norm", "scale", "wide"): (128, 1_000_000),
         ("dense", "scale"): (512, 131072),
         ("dense", "dense"): (kron_dd.MAX_SIDE, kron_dd.MAX_SIDE),
