@@ -134,7 +134,14 @@ def worker(process_id: int) -> None:
         for mesh_name in mesh_names:
             mesh = meshes[mesh_name]
             rep = NamedSharding(mesh, P())
-            k_fam = jax.random.fold_in(key, abs(hash(name)) % (1 << 30))
+            # NOT hash(name): Python string hashing is per-process
+            # randomized, and a process-dependent key would feed the two
+            # controllers of one SPMD computation DIFFERENT probes (found
+            # r4: it inflated the replay deviation ~3x and made the two
+            # processes print different losses)
+            import zlib
+
+            k_fam = jax.random.fold_in(key, zlib.crc32(name.encode()))
             k_opt, k_run = jax.random.split(k_fam)
             state = opt.init(mlp, k_opt)
 
@@ -210,24 +217,19 @@ def worker(process_id: int) -> None:
                 r_leaves = jax.tree_util.tree_leaves(restored["params"])
                 for a, b in zip(r_leaves, p_s, strict=True):
                     assert a.sharding == b.sharding
-                    # measured multi-controller fact (r4): the per-device
-                    # replicas of "replicated" arrays DRIFT (~3e-4 after
-                    # 10 steps here) because each rank's collective
-                    # reduction order differs — so a bitwise roundtrip
-                    # check against every shard is unsatisfiable BY
-                    # CONSTRUCTION. orbax persists one replica; restore
-                    # canonicalizes all devices to it. The restored array
-                    # must be internally consistent (all shards equal)
-                    # and within drift tolerance of the live state.
-                    r_shards = [np.asarray(s.data)
-                                for s in a.addressable_shards]
-                    for rs in r_shards[1:]:
-                        np.testing.assert_array_equal(r_shards[0], rs)
+                    # bitwise roundtrip on every addressable shard. (An
+                    # earlier revision tolerated "replica drift across
+                    # ranks" — that drift was a bug in THIS tool: string
+                    # hash() is per-process randomized, so the two
+                    # controllers derived different PRNG keys and fed one
+                    # SPMD computation different probes. With consistent
+                    # inputs the replicas are bitwise identical across
+                    # devices and processes — verified by a standalone
+                    # 2-process probe — and the checkpoint must be too.)
                     for sa, sb in zip(a.addressable_shards,
                                       b.addressable_shards):
-                        np.testing.assert_allclose(
-                            np.asarray(sa.data), np.asarray(sb.data),
-                            rtol=0, atol=5e-3)
+                        np.testing.assert_array_equal(
+                            np.asarray(sa.data), np.asarray(sb.data))
                 k, sub = jax.random.split(k)
                 _, _, aux_r = sharded(
                     restored["params"], restored["opt"], globalize(sub, rep),
