@@ -37,28 +37,38 @@ Sharded: `mesh`/`axis` wrap the three passes in one shard_map over the
 lane-partitioned tail with the Gram psum'd and the maxes pmax'd; the
 corner algebra runs redundantly per device on replicated corner blocks.
 
-Measured bound accounting (r4, real chip, n=1M r=10, VERDICT r3 ask #2):
-the whole update+apply pair's 224 GB/s effective (34% of the saxpy bound)
-is NOT a stream ceiling. Timed in isolation, each pass runs far above it
-— stage1 178 us / 848 GB/s, stage2 225 us / 672, stage3(+apply gram)
-551 us / 540, stage4 150 us / 1009 (6-8 concurrent separate buffers beat
-the 2-buffer per-buffer-law figure; the law is shape-dependent, see
-CLAUDE.md). The gap to the ~2050 us routed pair is STRUCTURE: the three
-passes are gated (gram -> corner algebra -> maxes -> step scalars ->
-rewrite), the r x r corner algebra between them is a latency chain of
-tiny ops, and the streaming-regime apply is a separate XLA chain
-(~365 us; the g-riding fused variant re-measured SLOWER end-to-end,
-5.5 vs 11.3 Gnnz/s, confirming the r2 routing). Lane-block size is NOT a
-lever: BLKN 4096/8192/16384 measured 221/229/231 GB/s (update_apply,
-spreads <2%); BLKN >= 32768 exceeds stage 3's 16MB default scoped-VMEM
-window. Nor is the corner chain: replacing the four sequential r x r
-triangular solves with one batched Newton inversion + matvecs (the
-splu_one design, kept below for consistency) measured 11.06 vs 11.26
-Gnnz/s — within spread. The gating structure itself is the bound, and it
-is reference semantics (the step normalizer needs max|grad| over the
-whole tail before any factor rewrite): each gated pass pays its DMA
-ramp-in serially, which is exactly the difference between the isolated
-per-stage rates above and the composed pair.
+Measured bound accounting (r4, real chip, n=1M r=10, VERDICT r3 ask #2) —
+three levers tested, all refuted; the 3-pass structure at ~224 GB/s
+effective (2051 us/pair) is the experimentally-standing operating point:
+
+  1. Lane-block size: BLKN 4096/8192/16384 measured 221/229/231 GB/s
+     (update_apply, spreads <2%) — flat. BLKN >= 32768 exceeds stage 3's
+     16MB default scoped-VMEM window.
+  2. Corner-solve latency: replacing the four sequential r x r
+     triangular solves with one batched Newton inversion + matvecs (the
+     splu_one design, kept below for consistency) measured 11.06 vs
+     11.26 Gnnz/s — within spread.
+  3. Launch/ramp overhead: a ONE-LAUNCH restructure of the whole
+     schedule (fused_update_apply_mono below — grid-sequential stages
+     with the corner algebra at in-kernel boundary steps) measured
+     SLOWER: 2713 vs 2051 us, spreads <3%, interleaved A/B. Same
+     mechanism class as the r2 finding that the g-riding stage-3
+     accumulator serializes grid pipelining: packing every stage's code
+     and buffers into one launch throttles the pipeline more than the
+     per-launch cost it saves.
+
+(Per-stage chained timings once suggested the passes run at 540-1000
+GB/s in isolation; those numbers were inflated by scan-carry VMEM
+residency in the timing harness — the operand being the scan carry lets
+XLA keep it partially resident, the same artifact that makes a 1-buffer
+copy "measure" above HBM spec — and are superseded by the mono-kernel
+A/B, which is the honest end-to-end test of the ramp hypothesis.)
+
+The remaining structure is reference semantics (the step normalizer
+needs max|grad| over the whole tail before any factor rewrite gates
+every pass), and the streaming-regime apply stays a separate XLA chain
+(the g-riding fused variant re-measured 5.5 vs 11.3 Gnnz/s, confirming
+the r2 routing).
 """
 from __future__ import annotations
 
@@ -70,6 +80,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from psgd_tf_tpu.ops import linalg
+from psgd_tf_tpu.ops.pallas import tri as tri_mod
 
 BLKN = 8192  # lanes per grid step
 SUB = 8      # fp32 sublane quantum (rank pads to a multiple of this)
@@ -172,25 +183,16 @@ def _stage2_kernel(l2t_ref, u2_ref, l3_ref, u3_ref, dx_ref, dg_ref,
     )
 
 
-def _stage3_body(l2t_ref, u2_ref, l3_ref, u3_ref, dx_ref, dg_ref,
-                 coef_ref, scal_ref):
-    """Shared stage-3 math; returns the updated tail blocks."""
-    """coef columns 0-3 as in _tail_images; 4 = sl*L1^T Qg1, 5 = sl*L1^T iQtx1,
-    6 = su*U1 Pg1, 7 = su*U1 dx1. scal: [sl, su, 1/rho, rho]."""
-    l3, u3 = l3_ref[:], u3_ref[:]
-    dx, dg = dx_ref[:], dg_ref[:]
-    l2t, u2 = l2t_ref[:], u2_ref[:]
-    qg2, iqtx2, pg2, ipx2 = _tail_images(l2t, u2, l3, u3, dx, dg, coef_ref)
+def _stage3_math(l2t, u2, l3, u3, dx, dg, coef, sl, su, inv_rho, rho):
+    """Stage-3 tail rewrite on VALUES (shared by the 3-pass schedule and
+    the one-launch mono kernel). coef columns 0-3 as in _tail_images;
+    4 = sl*L1^T Qg1, 5 = sl*L1^T iQtx1, 6 = su*U1 Pg1, 7 = su*U1 dx1."""
+    qg2, iqtx2, pg2, ipx2 = _tail_images(l2t, u2, l3, u3, dx, dg, coef)
     gl3 = qg2 * qg2 - iqtx2 * iqtx2
     gu3 = pg2 * dg - dx * ipx2
 
-    sl = scal_ref[0, 0]
-    su = scal_ref[0, 1]
-    inv_rho = scal_ref[0, 2]
-    rho = scal_ref[0, 3]
-
     def col(j):  # (rp, 1)
-        return coef_ref[:, j : j + 1]
+        return coef[:, j : j + 1]
 
     # (gl2 @ L1)^T and U1 @ gu2 are rank-2: coefficient outers (VPU)
     newl2t = inv_rho * (
@@ -202,6 +204,17 @@ def _stage3_body(l2t_ref, u2_ref, l3_ref, u3_ref, dx_ref, dg_ref,
     newl3 = inv_rho * (l3 - sl * gl3 * l3)
     newu3 = rho * (u3 - su * gu3 * u3)
     return newl2t, newu2, newl3, newu3
+
+
+def _stage3_body(l2t_ref, u2_ref, l3_ref, u3_ref, dx_ref, dg_ref,
+                 coef_ref, scal_ref):
+    """Shared stage-3 math; returns the updated tail blocks.
+    scal: [sl, su, 1/rho, rho]."""
+    return _stage3_math(
+        l2t_ref[:], u2_ref[:], l3_ref[:], u3_ref[:], dx_ref[:], dg_ref[:],
+        coef_ref[:], scal_ref[0, 0], scal_ref[0, 1], scal_ref[0, 2],
+        scal_ref[0, 3],
+    )
 
 
 def _stage3_kernel(l2t_ref, u2_ref, l3_ref, u3_ref, dx_ref, dg_ref,
@@ -251,6 +264,343 @@ def _stage4_apply_kernel(l2t_ref, u2_ref, l3_ref, u3_ref, g_ref,
     lu = l3_ref[:] * u3_ref[:]
     qg2 = proj(0, l2t_ref[:]) + lu * g_ref[:]
     out_ref[:] = proj(1, u2_ref[:]) + lu * qg2
+
+
+# ----------------------------------------------------- one-launch schedule
+
+def _mono_kernel(l2t_ref, u2_ref, l3_ref, u3_ref, dx_ref, dg_ref, g_ref,
+                 L1_ref, U1_ref, cvec_ref, step_ref,
+                 newl2t_ref, newu2_ref, newl3_ref, newu3_ref, corner_ref,
+                 pre2_ref,
+                 gram_ref, gram2_ref, maxs_ref, coefA_ref, coefB_ref,
+                 scal_ref, invs_ref, cnew_ref,
+                 *, nb, r, rp, nt, blkn, tiny):
+    """The WHOLE streaming update+apply in one launch: grid = 4*nb steps
+    sweep the tail four times (TPU grids execute sequentially, so the
+    stage gates hold), and the r x r corner algebra runs IN-KERNEL at the
+    stage-boundary steps instead of as XLA between launches.
+
+    NOT ROUTED — measured SLOWER than the 3-pass schedule it was built to
+    beat (r4 interleaved A/B at n=1M r=10: 2713 vs 2051 us/pair, spreads
+    <3%): packing every stage's code and output buffers into one launch
+    throttles Mosaic's grid pipelining more than the saved launches cost
+    (module docstring, lever #3). Kept as a tested negative result with
+    an oracle-parity test (the repo's practice for rejected schedules —
+    cf. kron_sparse_big.fused_apply_*); its in-kernel corner-boundary
+    machinery is the starting point if launch overhead ever becomes the
+    dominant term (e.g. much smaller n).
+
+      i in [0,   nb): stage 1 — packed Gram + masked l3/u3 maxes
+      i == nb       : boundary A — corner chain (Newton inverses) -> coefA
+      i in [nb,  2nb): stage 2 — exact max|grad| over the tail
+      i == 2nb      : boundary B — step scalars, balance, coefB, corners'
+      i in [2nb, 3nb): stage 3 — tail rewrite + apply Gram on new factors
+      i == 3nb      : boundary C — corner apply algebra -> coef5, pre1
+      i in [3nb, 4nb): stage 4 — tail of P'g (new factors recomputed,
+                       not re-read: the inputs are streaming anyway)
+
+    Output block maps clamp so each tail-output block is written exactly
+    once (during its stage-3/4 visit) and written back when the sweep
+    moves on; the corner outputs pack into one resident block written at
+    the final step."""
+    f32 = jnp.float32
+    i = pl.program_id(0)
+    j = jax.lax.rem(i, nb)
+
+    l2t, u2 = l2t_ref[:], u2_ref[:]
+    l3, u3 = l3_ref[:], u3_ref[:]
+    dx, dg = dx_ref[:], dg_ref[:]
+    lanes = j * blkn + jax.lax.broadcasted_iota(jnp.int32, (1, blkn), 1)
+    valid = lanes < nt
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    sdot = functools.partial(jnp.dot, preferred_element_type=f32,
+                             precision=tri_mod.SOLVE_PRECISION)
+    dot = functools.partial(jnp.dot, preferred_element_type=f32)
+
+    @pl.when(i == 0)
+    def _():
+        # both corner inverses in ONE batched Newton chain; Newton is
+        # exact on triangular blocks (identity-padded outside r)
+        invs_ref[:] = tri_mod._newton_inv_batched(
+            jnp.stack([U1_ref[:], L1_ref[:]])
+        )
+        gram_ref[:] = jnp.zeros_like(gram_ref)
+        gram2_ref[:] = jnp.zeros_like(gram2_ref)
+        maxs_ref[:] = jnp.full_like(maxs_ref, -jnp.inf)
+
+    # ---- stage 1 -------------------------------------------------------
+    @pl.when(i < nb)
+    def _():
+        lu = l3 * u3
+        w = 1.0 / lu
+        rows = jnp.concatenate(
+            [u2, l2t, u2 * w, dg, dx * w, lu * dg]
+            + [jnp.zeros_like(l3)] * 5, axis=0)
+        gram_ref[:] += _dotg(rows, rows, ((1,), (1,)))
+        lmax = jnp.max(jnp.where(valid, l3, -jnp.inf))
+        umax = jnp.max(jnp.where(valid, u3, -jnp.inf))
+        maxs_ref[:] = jnp.maximum(
+            maxs_ref[:],
+            jnp.where(lane8 == 2, lmax,
+                      jnp.where(lane8 == 3, umax, -jnp.inf)))
+
+    # ---- boundary A ----------------------------------------------------
+    @pl.when(i == nb)
+    def _():
+        gram = gram_ref[:]
+        L1, U1 = L1_ref[:], U1_ref[:]
+        invU1, invL1 = invs_ref[0], invs_ref[1]
+        dx1 = cvec_ref[:, 0:1]
+        dg1 = cvec_ref[:, 1:2]
+        iu, il, iw = slice(0, rp), slice(rp, 2 * rp), slice(2 * rp, 3 * rp)
+        idg, idxc, ilug = 3 * rp, 3 * rp + 1, 3 * rp + 2
+
+        U2_dg = gram[iu, idg:idg + 1]
+        L2t_dxw = gram[il, idxc:idxc + 1]
+        G_LU_w = gram[il, iw]
+        G_LL = gram[il, il]
+        L2t_lug = gram[il, ilug:ilug + 1]
+        G_UwUw = gram[iw, iw]
+        U2_w2dx = gram[iw, idxc:idxc + 1]
+
+        # the corner chain (ref :430-452) on (rp, 1) padded columns
+        Ug1 = dot(U1, dg1) + U2_dg
+        Qg1 = dot(L1, Ug1)
+        iUtx1 = sdot(invU1.T, dx1)
+        L2t_iqtx2 = L2t_dxw - dot(G_LU_w, iUtx1)
+        iQtx1 = sdot(invL1.T, iUtx1 - L2t_iqtx2)
+        L2t_qg2 = dot(G_LL, Ug1) + L2t_lug
+        LtQg1 = dot(L1.T, Qg1) + L2t_qg2
+        Pg1 = dot(U1.T, LtQg1)
+        iLiQtx1 = sdot(invL1, iQtx1)
+        U2_ipx2 = (U2_w2dx - dot(G_UwUw, iUtx1)) - dot(G_LU_w.T, iLiQtx1)
+        iPx1 = sdot(invU1, iLiQtx1 - U2_ipx2)
+
+        zc = jnp.zeros_like(dx1)
+        coefA_ref[:] = jnp.concatenate(
+            [Ug1, iUtx1, LtQg1, iLiQtx1, Qg1, iQtx1, Pg1, dx1,
+             iPx1, zc, zc, zc, zc, zc, zc, zc], axis=1)
+
+    # ---- stage 2 -------------------------------------------------------
+    @pl.when((i >= nb) & (i < 2 * nb))
+    def _():
+        coef = coefA_ref[:, :8]
+        qg2, iqtx2, pg2, ipx2 = _tail_images(l2t, u2, l3, u3, dx, dg, coef)
+        gl3 = qg2 * qg2 - iqtx2 * iqtx2
+        gu3 = pg2 * dg - dx * ipx2
+        col = lambda c: coefA_ref[:, c:c + 1]
+        gl2_max = jnp.max(jnp.abs(col(4) * qg2 - col(5) * iqtx2))
+        gu2_max = jnp.max(jnp.abs(col(6) * dg - col(7) * ipx2))
+        max_l = jnp.maximum(gl2_max, jnp.max(jnp.abs(gl3)))
+        max_u = jnp.maximum(gu2_max, jnp.max(jnp.abs(gu3)))
+        maxs_ref[:] = jnp.maximum(
+            maxs_ref[:],
+            jnp.where(lane8 == 0, max_l,
+                      jnp.where(lane8 == 1, max_u, -jnp.inf)))
+
+    # ---- boundary B ----------------------------------------------------
+    @pl.when(i == 2 * nb)
+    def _():
+        L1, U1 = L1_ref[:], U1_ref[:]
+        dx1 = cvec_ref[:, 0:1]
+        dg1 = cvec_ref[:, 1:2]
+        colA = lambda c: coefA_ref[:, c:c + 1]
+        Qg1, iQtx1, Pg1, iPx1 = colA(4), colA(5), colA(6), colA(8)
+
+        rid = jax.lax.broadcasted_iota(jnp.int32, (rp, rp), 0)
+        cid = jax.lax.broadcasted_iota(jnp.int32, (rp, rp), 1)
+        real = (rid < r) & (cid < r)
+        gl1 = jnp.where((rid >= cid) & real,
+                        Qg1 * Qg1.T - iQtx1 * iQtx1.T, 0.0)
+        gu1 = jnp.where((rid <= cid) & real,
+                        Pg1 * dg1.T - dx1 * iPx1.T, 0.0)
+
+        # step_scale semantics (ops/linalg.py): fp32, saturated at fmax
+        fmax = float(jnp.finfo(jnp.float32).max)
+        step = step_ref[0, 0]
+        mx_l = jnp.maximum(jnp.max(jnp.abs(gl1)), maxs_ref[0, 0])
+        mx_u = jnp.maximum(jnp.max(jnp.abs(gu1)), maxs_ref[0, 1])
+        sl = jnp.minimum(step / (mx_l + tiny), fmax)
+        su = jnp.minimum(step / (mx_u + tiny), fmax)
+
+        diag_m = (rid == cid) & (rid < r)
+        max_l = jnp.maximum(jnp.max(jnp.where(diag_m, L1, -jnp.inf)),
+                            maxs_ref[0, 2])
+        max_u = jnp.maximum(jnp.max(jnp.where(diag_m, U1, -jnp.inf)),
+                            maxs_ref[0, 3])
+        rho = jnp.sqrt(max_l / max_u)
+        inv_rho = 1.0 / rho
+
+        coefB_ref[:] = jnp.concatenate(
+            [colA(0), colA(1), colA(2), colA(3),
+             sl * dot(L1.T, Qg1), sl * dot(L1.T, iQtx1),
+             su * dot(U1, Pg1), su * dot(U1, dx1)], axis=1)
+        scal_ref[:] = jnp.where(
+            lane8 == 0, sl,
+            jnp.where(lane8 == 1, su,
+                      jnp.where(lane8 == 2, inv_rho,
+                                jnp.where(lane8 == 3, rho, 0.0))))
+        cnew_ref[0] = rho * (U1 - su * dot(U1, gu1))      # newU1
+        cnew_ref[1] = inv_rho * (L1 - sl * dot(gl1, L1))  # newL1
+
+    # ---- stage 3 -------------------------------------------------------
+    @pl.when((i >= 2 * nb) & (i < 3 * nb))
+    def _():
+        sl, su = scal_ref[0, 0], scal_ref[0, 1]
+        inv_rho, rho = scal_ref[0, 2], scal_ref[0, 3]
+        newl2t, newu2, newl3, newu3 = _stage3_math(
+            l2t, u2, l3, u3, dx, dg, coefB_ref[:], sl, su, inv_rho, rho)
+        newl2t_ref[:] = newl2t
+        newu2_ref[:] = newu2
+        newl3_ref[:] = newl3
+        newu3_ref[:] = newu3
+        gv = g_ref[:]
+        lug = newl3 * newu3 * gv
+        rows = jnp.concatenate(
+            [newu2, newl2t, lug, gv] + [jnp.zeros_like(gv)] * 6, axis=0)
+        gram2_ref[:] += _dotg(rows, rows, ((1,), (1,)))
+
+    # ---- boundary C ----------------------------------------------------
+    @pl.when(i == 3 * nb)
+    def _():
+        gram2 = gram2_ref[:]
+        g1 = cvec_ref[:, 2:3]
+        newU1 = cnew_ref[0]
+        newL1 = cnew_ref[1]
+        iu2, il2 = slice(0, rp), slice(rp, 2 * rp)
+        ilug2, ig2 = 2 * rp, 2 * rp + 1
+        # corner apply algebra on the primed factors (ref :506-516)
+        Ug1p = dot(newU1, g1) + gram2[iu2, ig2:ig2 + 1]
+        Qg1p = dot(newL1, Ug1p)
+        LtQg1p = (dot(newL1.T, Qg1p) + dot(gram2[il2, il2], Ug1p)
+                  + gram2[il2, ilug2:ilug2 + 1])
+        pre1 = dot(newU1.T, LtQg1p)
+        base = coefA_ref[:]
+        coefA_ref[:] = jnp.concatenate(
+            [base[:, :9], Ug1p, LtQg1p, pre1, base[:, 12:]], axis=1)
+
+    # ---- stage 4 -------------------------------------------------------
+    @pl.when(i >= 3 * nb)
+    def _():
+        sl, su = scal_ref[0, 0], scal_ref[0, 1]
+        inv_rho, rho = scal_ref[0, 2], scal_ref[0, 3]
+        newl2t, newu2, newl3, newu3 = _stage3_math(
+            l2t, u2, l3, u3, dx, dg, coefB_ref[:], sl, su, inv_rho, rho)
+        lu = newl3 * newu3
+        cUg = coefA_ref[:, 9:10]
+        cLt = coefA_ref[:, 10:11]
+        qg2 = jnp.sum(cUg * newl2t, axis=0, keepdims=True) + lu * g_ref[:]
+        pre2_ref[:] = jnp.sum(cLt * newu2, axis=0, keepdims=True) + lu * qg2
+
+    # ---- final step: corner outputs (one resident block) ---------------
+    @pl.when(i == 4 * nb - 1)
+    def _():
+        zc = jnp.zeros((rp, 7), f32)
+        corner_ref[:] = jnp.concatenate(
+            [cnew_ref[1], cnew_ref[0], coefA_ref[:, 11:12], zc], axis=1)
+
+
+def fused_update_apply_mono(Lt, l3, U12, u3, v, h, g, step, tiny: float,
+                            interpret: bool = False):
+    """One-launch streaming update + P'g apply; same contract as
+    `fused_update(..., g=g)` (unsharded). Returns
+    (Lt', l3', U12', u3', pre)."""
+    f32 = jnp.float32
+    r, n = U12.shape
+    L1, U1 = Lt[:, :r].T, U12[:, :r]
+    L2t, U2 = Lt[:, r:], U12[:, r:]
+    dx1, dx2 = v[:r], v[r:]
+    dg1, dg2 = h[:r], h[r:]
+    g1, g2 = g[:r], g[r:]
+
+    nt = n - r
+    rp = max(SUB, _cdiv(r, SUB) * SUB)
+    ntp = _cdiv(nt, BLKN) * BLKN
+    nb = ntp // BLKN
+    zdim = 3 * rp + 8
+    z2dim = 2 * rp + 8
+
+    def pad_rn(m):
+        if (rp, ntp) == m.shape:
+            return m
+        return jnp.zeros((rp, ntp), f32).at[:r, :nt].set(m)
+
+    def pad_n(x, fill=0.0):
+        if ntp == x.shape[0]:
+            return x[None, :]
+        return jnp.full((1, ntp), fill, f32).at[0, :nt].set(x)
+
+    idx = jnp.arange(rp)
+    pad_eye = jnp.where((idx[:, None] == idx[None, :]) & (idx[:, None] >= r),
+                        1.0, 0.0).astype(f32)
+
+    def pad_corner(M):
+        return jnp.zeros((rp, rp), f32).at[:r, :r].set(M) + pad_eye
+
+    def pad_cvec(*cols):
+        c = jnp.zeros((rp, 8), f32)
+        for jj, vec in enumerate(cols):
+            c = c.at[:r, jj].set(vec)
+        return c
+
+    blk_in_rn = pl.BlockSpec((rp, BLKN), lambda i: (0, jax.lax.rem(i, nb)),
+                             memory_space=pltpu.VMEM)
+    blk_in_n = pl.BlockSpec((1, BLKN), lambda i: (0, jax.lax.rem(i, nb)),
+                            memory_space=pltpu.VMEM)
+    out3 = lambda i: (0, jnp.clip(i - 2 * nb, 0, nb - 1))
+    out4 = lambda i: (0, jnp.clip(i - 3 * nb, 0, nb - 1))
+    blk_o3_rn = pl.BlockSpec((rp, BLKN), out3, memory_space=pltpu.VMEM)
+    blk_o3_n = pl.BlockSpec((1, BLKN), out3, memory_space=pltpu.VMEM)
+    blk_o4_n = pl.BlockSpec((1, BLKN), out4, memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+    outs = pl.pallas_call(
+        functools.partial(_mono_kernel, nb=nb, r=r, rp=rp, nt=nt,
+                          blkn=BLKN, tiny=tiny),
+        grid=(4 * nb,),
+        in_specs=[blk_in_rn, blk_in_rn, blk_in_n, blk_in_n, blk_in_n,
+                  blk_in_n, blk_in_n,
+                  rep((rp, rp)), rep((rp, rp)), rep((rp, 8)), rep((1, 8))],
+        out_specs=(blk_o3_rn, blk_o3_rn, blk_o3_n, blk_o3_n,
+                   rep((rp, 2 * rp + 8)), blk_o4_n),
+        out_shape=(
+            jax.ShapeDtypeStruct((rp, ntp), f32),
+            jax.ShapeDtypeStruct((rp, ntp), f32),
+            jax.ShapeDtypeStruct((1, ntp), f32),
+            jax.ShapeDtypeStruct((1, ntp), f32),
+            jax.ShapeDtypeStruct((rp, 2 * rp + 8), f32),
+            jax.ShapeDtypeStruct((1, ntp), f32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((zdim, zdim), f32),
+            pltpu.VMEM((z2dim, z2dim), f32),
+            pltpu.VMEM((1, 8), f32),
+            pltpu.VMEM((rp, 16), f32),
+            pltpu.VMEM((rp, 8), f32),
+            pltpu.VMEM((1, 8), f32),
+            pltpu.VMEM((2, rp, rp), f32),
+            pltpu.VMEM((2, rp, rp), f32),
+        ],
+        interpret=interpret,
+    )(
+        pad_rn(L2t), pad_rn(U2), pad_n(l3, 1.0), pad_n(u3, 1.0),
+        pad_n(dx2), pad_n(dg2), pad_n(g2),
+        pad_corner(L1), pad_corner(U1), pad_cvec(dx1, dg1, g1),
+        jnp.full((1, 8), jnp.asarray(step, f32)),
+    )
+    newL2t, newU2, newl3, newu3, corner, pre2 = outs
+    newL1 = corner[:r, :r]
+    newU1 = corner[:r, rp:rp + r]
+    pre1 = corner[:r, 2 * rp]
+    return (
+        jnp.concatenate([newL1.T, newL2t[:r, :nt]], axis=1),
+        newl3[0, :nt],
+        jnp.concatenate([newU1, newU2[:r, :nt]], axis=1),
+        newu3[0, :nt],
+        jnp.concatenate([pre1, pre2[0, :nt]]),
+    )
 
 
 # ------------------------------------------------------------------ wrapper

@@ -581,3 +581,30 @@ def test_wide_ns_routed_through_group_dispatch(monkeypatch):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-5, atol=5e-6)
     assert calls == [(16, 140000), (16, 140000)]  # mirror transposes in
+
+
+@pytest.mark.parametrize("n,r", [(100, 10), (300, 4), (48, 1)])
+def test_splu_mono_kernel_matches_xla_path(n, r):
+    """fused_update_apply_mono (one-launch schedule) vs the XLA oracle.
+
+    The mono kernel is NOT ROUTED — it measured slower than the 3-pass
+    schedule on hardware (see its docstring) — but stays oracle-correct
+    as a tested negative result."""
+    from psgd_tf_tpu.groups import splu
+    from psgd_tf_tpu.ops.pallas import splu_upd
+
+    st = _splu_perturbed(n, r)
+    key = jax.random.PRNGKey(9)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+    h = jax.random.normal(jax.random.fold_in(key, 2), (n,))
+    g = jax.random.normal(jax.random.fold_in(key, 3), (n,))
+    ref = splu.update(st, v, h, step=0.05)  # XLA path (pallas off on CPU)
+    ref_pre = splu.apply(ref, g)
+    got = splu_upd.fused_update_apply_mono(
+        st.Lt, st.l3, st.U12, st.u3, v, h, g, 0.05, TINY, interpret=True
+    )
+    for a, b in zip(got, (ref.Lt, ref.l3, ref.U12, ref.u3, ref_pre),
+                    strict=True):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        )
