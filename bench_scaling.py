@@ -45,12 +45,17 @@ def log(*a):
 
 
 def _median_time(fn, reps=3):
+    """Median wall time + relative spread (error-bar policy of bench.py:
+    a best-of with no recorded spread let a 25% artifact discrepancy go
+    unnoticed in r3)."""
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         fn()
         ts.append(time.perf_counter() - t0)
-    return sorted(ts)[reps // 2]
+    ts.sort()
+    med = ts[reps // 2]
+    return med, (ts[-1] - ts[0]) / max(med, 1e-12)
 
 
 def bench_mesh(
@@ -94,7 +99,7 @@ def bench_mesh(
     )
     out = chained_j(state, v, h, g, key)
     jax.block_until_ready(out)
-    t = _median_time(lambda: jax.block_until_ready(chained_j(state, v, h, g, key)))
+    t, _ = _median_time(lambda: jax.block_until_ready(chained_j(state, v, h, g, key)))
     nnz = 2 * n * rank + n
     return nnz / (t / iters)
 
@@ -137,9 +142,10 @@ def bench_tpu_single_chip(n: int, rank: int, iters: int = 30) -> dict:
     for name, fn in [("raw_kernel", raw), ("shardmap_kernel", wrapped)]:
         o = fn(state.UV, state.d)
         jax.block_until_ready(o)
-        tt = _median_time(lambda: jax.block_until_ready(fn(state.UV, state.d)))
+        tt, rel = _median_time(lambda: jax.block_until_ready(fn(state.UV, state.d)))
         out[name] = nnz / (tt / iters)
-        log(f"1-chip {name}: {out[name] / 1e9:8.2f} Gnnz/s")
+        out[name + "_rel_spread"] = rel
+        log(f"1-chip {name}: {out[name] / 1e9:8.2f} Gnnz/s (spread {rel:.1%})")
     out["shardmap_overhead"] = out["raw_kernel"] / out["shardmap_kernel"]
     return out
 
