@@ -60,7 +60,8 @@ def _median_time(fn, reps=3):
 
 def bench_mesh(
     n_devices: int, n: int, rank: int, iters: int = 30, path: str = "xla"
-) -> float:
+):
+    """Returns (nnz/s, rel spread) for one mesh size."""
     from psgd_tf_tpu.groups import lra
     from psgd_tf_tpu.ops import pallas as pallas_ops
     from psgd_tf_tpu.parallel import make_mesh, precond_sharding
@@ -99,9 +100,9 @@ def bench_mesh(
     )
     out = chained_j(state, v, h, g, key)
     jax.block_until_ready(out)
-    t, _ = _median_time(lambda: jax.block_until_ready(chained_j(state, v, h, g, key)))
+    t, rel = _median_time(lambda: jax.block_until_ready(chained_j(state, v, h, g, key)))
     nnz = 2 * n * rank + n
-    return nnz / (t / iters)
+    return nnz / (t / iters), rel
 
 
 def bench_tpu_single_chip(n: int, rank: int, iters: int = 30) -> dict:
@@ -224,18 +225,20 @@ def main():
     if backend != "tpu":
         # execute (don't time) the sharded kernel path once: end-to-end
         # validation that the shard_map'd kernels run on this mesh
-        kn = bench_mesh(sizes[-1], 1 << 12, args.rank, iters=2, path="kernel")
+        kn, _ = bench_mesh(sizes[-1], 1 << 12, args.rank, iters=2, path="kernel")
         log(f"kernel-path sharded execution validated at {sizes[-1]} devices")
 
     results = {}
     base = None
     for d in sizes:
-        nps = bench_mesh(d, args.n, args.rank, path=path)
+        nps, rel = bench_mesh(d, args.n, args.rank, path=path)
         if base is None:
             base = nps
         eff = nps / (base * d)
-        results[str(d)] = {"nnz_per_sec": nps, "efficiency": eff}
-        log(f"shard={d}: {nps/1e9:8.2f} Gnnz/s  efficiency {eff:6.1%}")
+        results[str(d)] = {"nnz_per_sec": nps, "efficiency": eff,
+                           "rel_spread": rel}
+        log(f"shard={d}: {nps/1e9:8.2f} Gnnz/s  efficiency {eff:6.1%} "
+            f"(spread {rel:.1%})")
 
     last = sizes[-1]
     print(

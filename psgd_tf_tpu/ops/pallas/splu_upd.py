@@ -90,6 +90,17 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _pad_corner(M, r: int, rp: int):
+    """(r, r) corner -> (rp, rp) with identity in the pad (keeps Newton
+    inversion exact); iota-mask identity, never index-array scatters
+    (CLAUDE.md latency rule)."""
+    ids = jnp.arange(rp)
+    pad_eye = jnp.where(
+        (ids[:, None] == ids[None, :]) & (ids[:, None] >= r), 1.0, 0.0
+    ).astype(jnp.float32)
+    return jnp.zeros((rp, rp), jnp.float32).at[:r, :r].set(M) + pad_eye
+
+
 def _dotg(a, b, dims):
     # default MXU precision: these are statistical reductions, matching
     # the XLA baseline's bf16 GEMMs on TPU
@@ -530,13 +541,6 @@ def fused_update_apply_mono(Lt, l3, U12, u3, v, h, g, step, tiny: float,
             return x[None, :]
         return jnp.full((1, ntp), fill, f32).at[0, :nt].set(x)
 
-    idx = jnp.arange(rp)
-    pad_eye = jnp.where((idx[:, None] == idx[None, :]) & (idx[:, None] >= r),
-                        1.0, 0.0).astype(f32)
-
-    def pad_corner(M):
-        return jnp.zeros((rp, rp), f32).at[:r, :r].set(M) + pad_eye
-
     def pad_cvec(*cols):
         c = jnp.zeros((rp, 8), f32)
         for jj, vec in enumerate(cols):
@@ -587,7 +591,8 @@ def fused_update_apply_mono(Lt, l3, U12, u3, v, h, g, step, tiny: float,
     )(
         pad_rn(L2t), pad_rn(U2), pad_n(l3, 1.0), pad_n(u3, 1.0),
         pad_n(dx2), pad_n(dg2), pad_n(g2),
-        pad_corner(L1), pad_corner(U1), pad_cvec(dx1, dg1, g1),
+        _pad_corner(L1, r, rp), _pad_corner(U1, r, rp),
+        pad_cvec(dx1, dg1, g1),
         jnp.full((1, 8), jnp.asarray(step, f32)),
     )
     newL2t, newU2, newl3, newu3, corner, pre2 = outs
@@ -673,39 +678,33 @@ def _update_impl(L1, U1, dx1, dg1, L2t, U2, l3, u3, dx2, dg2,
     # ---- corner algebra (ref :430-452), balance-invariant in Q = L U.
     # The four r x r triangular solves on the critical path between the
     # streaming passes are replaced by ONE batched Newton inversion of
-    # both corners + four matvecs (r4 latency lever; per-stage timing
-    # showed the passes themselves run at 540-1000 GB/s and the
-    # inter-stage corner chain is what separates the pair from its
-    # stream budget). Newton is exact for triangular blocks (nilpotent
-    # residual), same mixed-precision schedule as every other solve
-    # (tri._newton_inv_batched); identity padding via iota-mask, never
-    # index-array scatters (CLAUDE.md latency rule).
-    from psgd_tf_tpu.ops.pallas import tri as tri_mod
-
-    idx = jnp.arange(rp)
-    pad_eye = jnp.where((idx[:, None] == idx[None, :]) & (idx[:, None] >= r),
-                        1.0, 0.0).astype(f32)
-
-    def pad_corner(M):
-        return jnp.zeros((rp, rp), f32).at[:r, :r].set(M) + pad_eye
-
+    # both corners + four matvecs (r4; perf-neutral but consistent with
+    # splu_one's design). Newton is exact for triangular blocks
+    # (nilpotent residual), same mixed-precision schedule as every other
+    # solve (tri._newton_inv_batched); the inverse APPLICATIONS pin
+    # SOLVE_PRECISION — they replace fp32 substitutions and the solve
+    # invariant (CLAUDE.md) forbids letting them drop to bf16 on TPU.
     invs_c = tri_mod._newton_inv_batched(
-        jnp.stack([pad_corner(U1), pad_corner(L1)])
+        jnp.stack([_pad_corner(U1, r, rp), _pad_corner(L1, r, rp)])
     )
     invU1 = invs_c[0][:r, :r]
     invL1 = invs_c[1][:r, :r]
+    solvemul = functools.partial(
+        jnp.dot, preferred_element_type=f32,
+        precision=tri_mod.SOLVE_PRECISION,
+    )
 
     Ug1 = U1 @ dg1 + U2_dg
     Qg1 = L1 @ Ug1
-    iUtx1 = invU1.T @ dx1
+    iUtx1 = solvemul(invU1.T, dx1)
     L2t_iqtx2 = L2t_dxw - G_LU_w @ iUtx1
-    iQtx1 = invL1.T @ (iUtx1 - L2t_iqtx2)
+    iQtx1 = solvemul(invL1.T, iUtx1 - L2t_iqtx2)
     L2t_qg2 = G_LL @ Ug1 + L2t_lug
     LtQg1 = L1.T @ Qg1 + L2t_qg2
     Pg1 = U1.T @ LtQg1
-    iLiQtx1 = invL1 @ iQtx1
+    iLiQtx1 = solvemul(invL1, iQtx1)
     U2_ipx2 = (U2_w2dx - G_UwUw @ iUtx1) - G_LU_w.T @ iLiQtx1
-    iPx1 = invU1 @ (iLiQtx1 - U2_ipx2)
+    iPx1 = solvemul(invU1, iLiQtx1 - U2_ipx2)
 
     # corner gradients (ref :455-460, :468-473)
     gl1 = linalg.tril(jnp.outer(Qg1, Qg1) - jnp.outer(iQtx1, iQtx1))

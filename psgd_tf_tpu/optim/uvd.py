@@ -48,6 +48,11 @@ from psgd_tf_tpu.optim.psgd import PSGD
 
 PyTree = Any
 
+# closures the step cache pins at once; small because the intended usage
+# is one long-lived closure (ref :692), and each entry retains the
+# closure's captures plus a compiled executable
+_JIT_CACHE_SIZE = 8
+
 
 class UVd:
     """Stateful UVd (low-rank Q = (I + U V^T) diag(d)) PSGD optimizer."""
@@ -89,6 +94,11 @@ class UVd:
         # silently run the old compiled program. Pinning the closure in
         # the cache makes its id un-reusable while the entry lives, and
         # the `is` check guards the impossible-by-construction residue.
+        # BOUNDED (FIFO, _JIT_CACHE_SIZE): a per-step `lambda p: loss(p,
+        # batch)` pattern would otherwise pin every batch + one compiled
+        # executable forever. Eviction is aliasing-safe — dropping an
+        # entry un-pins its closure, and any future id collision finds no
+        # stale mapping to hit.
         self._jitted: dict[tuple, tuple[Callable, Callable]] = {}
         self.last_aux: dict[str, jax.Array] = {}
 
@@ -193,6 +203,8 @@ class UVd:
                 return p2, s2, aux, out
 
             step_fn = jax.jit(raw)
+            while len(self._jitted) >= _JIT_CACHE_SIZE:
+                self._jitted.pop(next(iter(self._jitted)))
             self._jitted[cache_key] = (closure, step_fn)
 
         self._key, sub = jax.random.split(self._key)

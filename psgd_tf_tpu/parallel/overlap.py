@@ -106,15 +106,34 @@ def comm_model(family: str, n_params: int | None = None, rank: int = 10,
         "kron": 0,
     }[family]
 
-    def _shard_degree(shape, spec):
+    def _axis_degree(axis_entry):
+        d = 1
+        for ax in (axis_entry if isinstance(axis_entry, tuple)
+                   else (axis_entry,)):
+            if ax is not None:
+                d *= mesh_shape.get(ax, 1)
+        return d
+
+    def _local_size(shape, spec):
+        """Per-device shard elements. GSPMD pads each non-divisible
+        SHARDED AXIS up to its mesh degree, so the local size is the
+        product of per-axis ceil(dim/degree) — not ceil of the flat
+        size."""
+        if spec is None or mesh_shape is None:
+            return int(_prod(shape))
+        ent = tuple(spec)
+        out = 1
+        for k, dim in enumerate(shape):
+            d = _axis_degree(ent[k]) if k < len(ent) else 1
+            out *= -(-int(dim) // d)
+        return out
+
+    def _shard_degree(spec):
         if spec is None or mesh_shape is None:
             return 1
         d = 1
         for axis_entry in tuple(spec):
-            for ax in (axis_entry if isinstance(axis_entry, tuple)
-                       else (axis_entry,)):
-                if ax is not None:
-                    d *= mesh_shape.get(ax, 1)
+            d *= _axis_degree(axis_entry)
         return d
 
     if param_shapes is not None:
@@ -123,12 +142,15 @@ def comm_model(family: str, n_params: int | None = None, rank: int = 10,
         if len(param_specs) != len(param_shapes):
             raise ValueError("param_specs must align with param_shapes")
         sizes = [int(_prod(s)) for s in param_shapes]
-        degrees = [_shard_degree(s, sp)
+        degrees = [_shard_degree(sp) for sp in param_specs]
+        locals_ = [_local_size(s, sp)
                    for s, sp in zip(param_shapes, param_specs)]
         n_params = sum(sizes)
-        dp_payload = 2 * sum(s // d for s, d in zip(sizes, degrees)) * dtype_bytes
+        # both the DP reduce and the (d-1) gathered remote shards move
+        # the PADDED per-device size
+        dp_payload = 2 * sum(locals_) * dtype_bytes
         tp_payload = 3 * sum(
-            s - s // d for s, d in zip(sizes, degrees)
+            (d - 1) * loc for loc, d in zip(locals_, degrees)
         ) * dtype_bytes
         n_tp = sum(1 for d in degrees if d > 1)
     else:

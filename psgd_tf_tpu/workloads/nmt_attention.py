@@ -53,6 +53,20 @@ def run(
     steps at the reference's lr 0.02 default unless overridden, and
     reports masked val loss + val token accuracy."""
     if data_path is not None:
+        # real mode is epoch-based and sizes the model from the corpus:
+        # loudly reject synthetic-mode knobs instead of silently ignoring
+        # them (a `--set steps=20` quick run must not become a multi-hour
+        # full-budget run)
+        if steps != 1000:
+            raise ValueError(
+                "steps applies to the synthetic task only; the real-corpus "
+                "run is epoch-based — use epochs=/num_examples= instead"
+            )
+        if cfg != nmt.Config():
+            raise ValueError(
+                "cfg applies to the synthetic task only; the real-corpus "
+                "run derives vocab from the tokenizers — use embed=/units="
+            )
         return _run_real(data_path, batch_size=batch_size, seed=seed,
                          exact_hvp=exact_hvp, lr=0.02 if lr is None else lr,
                          epochs=epochs, num_examples=num_examples, mesh=mesh,
@@ -163,6 +177,12 @@ def _run_real(
     rng = np.random.default_rng(seed + 1)
     n_train = ds.src_train.shape[0]
     steps_per_epoch = n_train // batch_size  # drop remainder (ref :80)
+    if epochs < 1 or steps_per_epoch < 1:
+        raise ValueError(
+            f"no training steps: epochs={epochs}, train split {n_train} "
+            f"rows < batch_size={batch_size} — shrink batch_size or stage "
+            "more examples"
+        )
     loss = None
     for _ in range(epochs):
         order = rng.permutation(n_train)
@@ -176,16 +196,20 @@ def _run_real(
 
     # teacher-forced val metrics, batched so the (val, S, vocab) logits
     # tensor never materializes whole
-    accs, losses, sizes = [], [], []
+    accs, losses, tok_w, pos_w = [], [], [], []
     for b in range(0, ds.src_val.shape[0], batch_size):
         s = slice(b, b + batch_size)  # tail chunk included (one extra compile)
         accs.append(float(token_acc(params, ds.src_val[s], ds.tgt_val[s])))
         losses.append(float(val_loss_fn(params, ds.src_val[s], ds.tgt_val[s])))
-        sizes.append(ds.src_val[s].shape[0])
-    acc = float(np.average(accs, weights=sizes))
+        # token_accuracy is per-non-PAD-token, loss is per-position: each
+        # batch figure must re-aggregate with ITS denominator or the
+        # corpus number is biased toward short-sentence batches
+        tok_w.append(int(np.sum(ds.tgt_val[s][:, 1:] != 0)))
+        pos_w.append(ds.tgt_val[s][:, 1:].size)
+    acc = float(np.average(accs, weights=tok_w))
     return {
         "loss": float(loss),
-        "val_loss": float(np.average(losses, weights=sizes)),
+        "val_loss": float(np.average(losses, weights=pos_w)),
         "token_accuracy": acc,
         "success": acc > 0.5,
         "steps": epochs * steps_per_epoch,

@@ -421,9 +421,11 @@ def test_fused_dense_update_apply_matches_sequence(n):
 @pytest.mark.parametrize("fmt,shape", [
     (("norm", "scale"), (700, 130)),     # beyond the resident 512-side cap
     (("norm", "scale"), (1030, 257)),
-    (("norm", "scale"), (80, 34000)),    # 2 lane panels (nj > 1)
-    (("norm", "scale"), (16, 140000)),   # beyond the old 131072 resident-
-                                         # lane cap (VERDICT r3 ask #4)
+    (("norm", "scale"), (80, 34000)),    # wide-ish but still the 1-D
+                                         # resident-lane kernel (<= MAX_LANES)
+    (("norm", "scale"), (16, 140000)),   # the WIDE 2-D-grid path past the
+                                         # 131072 resident-lane cap, with
+                                         # nj > 1 lane panels (r3 ask #4)
     (("norm", "dense"), (900, 70)),
     (("norm", "dense"), (1500, 200)),
     (("dense", "scale"), (130, 900)),

@@ -381,3 +381,10 @@ def test_comm_model_tp_accounting():
                              mesh_shape={"data": 8})
     assert rep["dp_bytes_per_step"] == legacy["dp_bytes_per_step"]
     assert rep["tp_gather_bytes_per_step"] == 0
+    # non-divisible axis: GSPMD pads, so local = ceil(s/d) for BOTH terms
+    odd = overlap.comm_model("kron", param_shapes=[(25, 24)],
+                             param_specs=[P("shard", None)],
+                             mesh_shape={"shard": 2})
+    loc = 13 * 24  # ceil(25/2) rows
+    assert odd["dp_bytes_per_step"] == 2 * loc * 4
+    assert odd["tp_gather_bytes_per_step"] == 3 * (2 - 1) * loc * 4

@@ -46,7 +46,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-COORD = "localhost:29741"
+# the launcher binds port 0 and passes the OS-chosen port down via env,
+# so concurrent invocations (or a TIME_WAIT socket from a crashed run)
+# can't collide on a hard-coded coordinator address
+COORD_ENV = "PSGD_MP_COORD"
 NPROC = 2
 LOCAL_DEVICES = 4
 STEPS = 10
@@ -60,7 +63,8 @@ def worker(process_id: int) -> None:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", LOCAL_DEVICES)
     jax.distributed.initialize(
-        coordinator_address=COORD, num_processes=NPROC, process_id=process_id
+        coordinator_address=os.environ[COORD_ENV], num_processes=NPROC,
+        process_id=process_id,
     )
     assert jax.device_count() == NPROC * LOCAL_DEVICES
     assert jax.local_device_count() == LOCAL_DEVICES
@@ -253,12 +257,16 @@ def main() -> None:
         worker(int(sys.argv[sys.argv.index("--worker") + 1]))
         return
 
+    import socket
     import tempfile
 
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # worker pins cpu itself (axon site
     # config would otherwise grab the TPU tunnel in both processes)
     env["PSGD_MP_CKPT_DIR"] = tempfile.mkdtemp(prefix="psgd_mp_ckpt_")
+    with socket.socket() as s:  # OS-assigned free port for the coordinator
+        s.bind(("localhost", 0))
+        env[COORD_ENV] = f"localhost:{s.getsockname()[1]}"
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", str(i)],
