@@ -411,12 +411,18 @@ def main():
                 law = _law_ceiling(streams)
                 results[f"{rowname}_pct_of_stream_bound"] = frac
                 results[f"{rowname}_achieved_gb_per_sec"] = gbs
-                results[f"{rowname}_pct_of_{streams}buf_law"] = gbs / law
-                sol = (
-                    f"  traffic {gbs:6.0f} GB/s = {frac:5.1%} of HBM bound"
-                    f" | {gbs / law:5.1%} of {streams}-buf law ({law:.0f})"
-                    + (" (VMEM-resident)" if frac > 1 else "")
-                )
+                if frac > 1:
+                    # above the HBM bound = VMEM-resident working set; an
+                    # HBM per-buffer ceiling is meaningless there
+                    sol = (f"  traffic {gbs:6.0f} GB/s = {frac:5.1%} of "
+                           "HBM bound (VMEM-resident)")
+                else:
+                    results[f"{rowname}_pct_of_{streams}buf_law"] = gbs / law
+                    sol = (
+                        f"  traffic {gbs:6.0f} GB/s = {frac:5.1%} of HBM "
+                        f"bound | {gbs / law:5.1%} of {streams}-buf law "
+                        f"({law:.0f})"
+                    )
             log(f"{rowname:8s} n={n:>8d}  {nps/1e9:8.3f} Gnnz/s"
                 f" (spread {spread['rel_spread']:.1%}){sol}")
         except Exception as exc:  # noqa: BLE001 — report and continue
