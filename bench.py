@@ -184,8 +184,11 @@ def measure_stream_bw(n: int = 1 << 25) -> float:
 # kernel's achieved GB/s next to this ceiling for its stream count so a
 # "% of saxpy bound" never again masquerades as "% of what THIS schedule
 # could reach" (VERDICT r3 weak #1). 1/2/4 are the r3 measured points;
-# 3 is interpolated (geometric-ish midpoint), not measured.
+# 3 is interpolated pending tools/stream_probe.py's measurement.
 STREAM_LAW = {1: 226.0, 2: 347.0, 3: 620.0, 4: 888.0}
+STREAM_LAW_MEASURED = {1, 2, 4}  # keys with a measured (not interpolated)
+#                                # figure; others are tagged "~interp" in
+#                                # the ledger (ADVICE r4)
 
 # Concurrent separate-buffer streams in the family's dominant routed
 # kernel phase (counting gridded, non-replicated HBM operands incl.
@@ -210,6 +213,96 @@ ROUTED_STREAMS = {
 
 def _law_ceiling(streams: int) -> float:
     return STREAM_LAW.get(streams, min(888.0, streams * 226.0))
+
+
+def _law_tag(streams: int) -> str:
+    return "" if streams in STREAM_LAW_MEASURED else "~interp"
+
+
+def measure_mxu_peak(n: int = 4096) -> float:
+    """Achieved bf16 MXU peak (FLOP/s): chained (n, n) @ (n, n) bf16
+    matmuls. The weight is scaled so iterates decay (no inf/nan churn);
+    the MXU does not care about values. This measured figure — not the
+    spec sheet — is the denominator of every `% of MXU peak` column, so
+    compute-bound rows are judged against what a dense large matmul
+    actually achieves through this compiler/runtime."""
+    key = jax.random.PRNGKey(0)
+    w = (0.5 * n**-0.5 * jax.random.normal(key, (n, n))).astype(jnp.bfloat16)
+    step = jax.jit(
+        lambda x: jnp.dot(x, w, preferred_element_type=jnp.bfloat16)
+    )
+    dt, _ = time_chained(
+        step,
+        lambda rep: jax.random.normal(
+            jax.random.PRNGKey(rep), (n, n)
+        ).astype(jnp.bfloat16),
+        iters=50,
+    )
+    return 2.0 * n**3 / dt
+
+
+def family_mxu_flops(family: str, n: int, rank: int = 10) -> float:
+    """Modeled MXU flops per update+apply pair, in BF16-EQUIVALENT flops:
+    dots pinned to Precision.HIGHEST (the solve-precision invariant,
+    CLAUDE.md) count 6x their nominal flops — Mosaic emulates an fp32 GEMM
+    as 6 bf16 MXU passes. Statistical GEMMs ride default (1x bf16).
+
+      diag/xmat/shift : pure VPU elementwise — no MXU term.
+      lra   : rank-space Grams + projections over the packed (2r, n)
+              state: stage-1 Z Z^T + the apply Gram + the two projection
+              writes ~ 6 (2r+2)^2 n nominal, default precision.
+      splu  : tail products ~ 3 passes x ~10 r n nominal, default.
+      dense : rank-2 update form: Qh + a(a^T Q) - b(b^T Q) + apply
+              Q^T(Q g) ~ 8 matvecs = 16 n^2 nominal; the solve's 2 n^2
+              ride HIGHEST (+10 n^2 equivalent) -> 26 n^2.
+
+    These are MODELS (documented, not profiled per-op); the binding
+    column they feed says which roofline — HBM stream law or MXU — the
+    row's measured time is closest to, making BASELINE.md's
+    "speed-of-light per chip" claim checkable for compute-bound rows
+    (VERDICT r4 ask #5)."""
+    z = 2 * rank + 2
+    return {
+        "diag": 0.0,
+        "xmat": 0.0,
+        "shift": 0.0,
+        "lra": 6.0 * z * z * n,
+        "splu": 30.0 * rank * n,
+        "splu_big": 30.0 * rank * n,
+        "dense": 26.0 * float(n) * n,
+    }[family]
+
+
+# Modeled bf16-equivalent MXU flops per kron update+apply pair at probe
+# (m, n) — same 6x-for-HIGHEST accounting as family_mxu_flops:
+#   nd : A (2mn^2) + block substitution @HIGHEST (2mn^2 -> 12) + two Grams
+#        (4mn^2) + XLA apply chain (4mn^2)            -> 22 m n^2
+#   ds : mirror of nd on the m side                   -> 22 m^2 n
+#   ns / ns_wide : diagonal right factor — only the bias matvec, the
+#        btdot matvec and the apply's elementwise chain touch reductions;
+#        ~8 m n nominal, effectively VPU-class        -> 8 m n
+KRON_MXU_FLOPS = {
+    "kron_nd": lambda m, n: 22.0 * m * float(n) * n,
+    "kron_ns": lambda m, n: 8.0 * float(m) * n,
+    "kron_ns_wide": lambda m, n: 8.0 * float(m) * n,
+    "kron_ds": lambda m, n: 22.0 * float(m) * m * n,
+}
+
+
+def _roofline(results: dict, rowname: str, dt: float, gbs: float,
+              law: float, flops: float, mxu_peak: float | None) -> str:
+    """Record the MXU column + binding tag for one row; returns the
+    ledger suffix. Binding = whichever roofline (HBM per-buffer law vs
+    measured MXU peak) predicts more of the measured time."""
+    if not mxu_peak:
+        return ""
+    t_hbm = (gbs / law) if law else 0.0           # fraction of dt at law
+    pct_mxu = flops / dt / mxu_peak
+    results[f"{rowname}_mxu_flops_model"] = flops
+    results[f"{rowname}_pct_of_mxu_peak"] = pct_mxu
+    binding = "MXU" if pct_mxu > t_hbm else "HBM"
+    results[f"{rowname}_binding"] = binding
+    return f" | MXU {pct_mxu:5.1%} -> {binding}-bound"
 
 
 def family_traffic_bytes(family: str, n: int, rank: int = 10) -> float:
@@ -262,9 +355,11 @@ def family_nnz(family: str, n: int, rank: int = 10) -> int:
 
 
 def bench_family_nnz_per_sec(family: str, n: int, rank: int = 10,
-                             iters: int = 100):
+                             iters: int = 100, dtype=jnp.float32):
     """Sequential update+apply throughput on a flat n-parameter problem.
-    Returns (nnz/s, slope spread dict)."""
+    Returns (nnz/s, slope spread dict). `dtype=bfloat16` benches the
+    production bf16-state path — which rides the XLA formulation (the
+    pallas kernels are fp32-only by the solve-precision invariant)."""
     from psgd_tf_tpu.groups import base
 
     family = family.split("_")[0]  # splu_big -> splu (streaming regime row)
@@ -273,13 +368,13 @@ def bench_family_nnz_per_sec(family: str, n: int, rank: int = 10,
     def make_state(rep: int):
         key = jax.random.PRNGKey(rep)
         if family == "lra":
-            st = fam.init(key, n, rank=rank)
+            st = fam.init(key, n, rank=rank, dtype=dtype)
         elif family == "splu":
-            st = fam.init(n, rank=rank)
+            st = fam.init(n, rank=rank, dtype=dtype)
         else:
-            st = fam.init(n)
-        v = jax.random.normal(jax.random.fold_in(key, 1), (n,))
-        h = jax.random.normal(jax.random.fold_in(key, 2), (n,))
+            st = fam.init(n, dtype=dtype)
+        v = jax.random.normal(jax.random.fold_in(key, 1), (n,), dtype)
+        h = jax.random.normal(jax.random.fold_in(key, 2), (n,), dtype)
         return st, v, h, key
 
     nnz = family_nnz(family, n, rank)
@@ -370,15 +465,125 @@ def bench_nmt_step_us(exact: bool = False) -> float:
     return dt * 1e6, spread
 
 
+def bench_nmt_ref_dims(iters: int = 8):
+    """The NMT workload at the REFERENCE's real dimensions (VERDICT r4
+    ask #1 — the one reference workload never measured at reference
+    scale): embed 256, units 1024, vocab 9414/4935, batch 64, sequence
+    lengths 16/11 (ref :68-86; `models.nmt.ref_config`). Tokens are
+    synthetic — the kernels measure identically on random ids.
+
+    Returns (phases dict in us, routes dict). Phases are CUMULATIVE
+    (the r3 floor-decomposition shape, VALIDATION.md): value_and_grad /
+    + FD Hvp pair / + kron Q-update / full PSGD step (apply + clip +
+    descend). Routes map each layer to the kernel `groups.kron.route`
+    says serves it — the bench FAILS (raises) if any kron-routed layer
+    silently rides the XLA fallback."""
+    from psgd_tf_tpu import PSGD, hvp
+    from psgd_tf_tpu.groups import kron
+    from psgd_tf_tpu.models import nmt
+
+    cfg = nmt.ref_config()
+    key = jax.random.PRNGKey(0)
+    params = nmt.init(key, cfg)
+    src = jax.random.randint(
+        jax.random.fold_in(key, 1), (64, 18), 3, cfg.vocab_src)
+    tgt = jax.random.randint(
+        jax.random.fold_in(key, 2), (64, 13), 3, cfg.vocab_tgt)
+
+    fmts = nmt.kron_formats(cfg)
+    shapes = nmt.layer_shapes(cfg)
+    routes = {}
+    for (m, n), fmt in zip(shapes, fmts):
+        r = kron.route(fmt, (m, n))
+        routes[f"{fmt[0][0]}{fmt[1][0]}_{m}x{n}"] = r
+        # the (1, 10) attention-output layer is latency-trivial either
+        # way; every other layer must hit a kernel
+        if r == "xla" and m * n > 512:
+            raise RuntimeError(
+                f"nmt_ref_dims: layer {fmt} {(m, n)} routes to the XLA "
+                "fallback — kernel coverage regressed")
+    log(f"nmt_ref routes: {routes}")
+
+    opt = PSGD(
+        preconditioner="kron", kron_formats=fmts,
+        lr_params=0.02, lr_preconditioner=0.02, grad_clip_max_norm=1.0,
+        exact_hessian_vector_product=False,
+    )
+    state = opt.init(params, key)
+    lr_pre = 0.02
+
+    def tree_fold(p, *trees):
+        # fold outputs back into the carry so no phase is dead code
+        out = p
+        for tr in trees:
+            out = jax.tree_util.tree_map(
+                lambda a, g: a - 1e-30 * g.astype(a.dtype), out, tr)
+        return out
+
+    def ph_grad(carry):
+        p, pc, k = carry
+        k = jax.random.fold_in(k, 1)
+        _, grads = hvp.grad_only(nmt.loss, p, src, tgt)
+        return tree_fold(p, grads), pc, k
+
+    def ph_hvp(carry):
+        p, pc, k = carry
+        k = jax.random.fold_in(k, 1)
+        v = hvp.random_like(k, p)
+        _, grads, hvs = hvp.finite_diff(nmt.loss, p, v, src, tgt)
+        return tree_fold(p, grads, hvs), pc, k
+
+    def ph_qupd(carry):
+        p, pc, k = carry
+        k = jax.random.fold_in(k, 1)
+        v = hvp.random_like(k, p)
+        _, grads, hvs = hvp.finite_diff(nmt.loss, p, v, src, tgt)
+        v_l = [x.astype(jnp.float32) for x in v]
+        h_l = [x.astype(jnp.float32) for x in hvs]
+        pc = kron.update_multi(pc, v_l, h_l, step=lr_pre)
+        return tree_fold(p, grads), pc, k
+
+    def ph_full(carry):
+        p, s, k = carry
+        k, sub = jax.random.split(k)
+        p, s, _ = opt.step(nmt.loss, p, s, sub, src, tgt)
+        return p, s, k
+
+    kron_states = [
+        kron.init(s, fmt=f, init_scale=1.0) for s, f in zip(shapes, fmts)
+    ]
+    phases = {}
+    for name, fn, carry0 in (
+        ("grad", ph_grad, lambda rep: (params, kron_states,
+                                       jax.random.PRNGKey(rep))),
+        ("hvp", ph_hvp, lambda rep: (params, kron_states,
+                                     jax.random.PRNGKey(rep))),
+        ("qupd", ph_qupd, lambda rep: (params, kron_states,
+                                       jax.random.PRNGKey(rep))),
+        ("full", ph_full, lambda rep: (params, state,
+                                       jax.random.PRNGKey(rep))),
+    ):
+        dt, spread = time_chained(fn, carry0, iters=iters)
+        phases[name] = {"us": dt * 1e6, "spread": spread}
+        log(f"nmt_ref phase {name:4s}: {dt * 1e6:8.0f} us "
+            f"(spread {spread['rel_spread']:.1%})")
+    return phases, routes
+
+
 def main():
     backend = jax.default_backend()
     log(f"backend={backend} devices={jax.devices()}")
 
     results = {}
     stream_bw = measure_stream_bw() if backend == "tpu" else None
+    mxu_peak = None
     if stream_bw:
         results["hbm_stream_gb_per_sec"] = stream_bw
         log(f"HBM stream bound (128MB saxpy): {stream_bw:.0f} GB/s")
+        mxu_peak = measure_mxu_peak()
+        results["mxu_bf16_peak_flops"] = mxu_peak
+        log(f"MXU bf16 peak (4096^3 chained matmul): "
+            f"{mxu_peak / 1e12:.1f} TFLOP/s")
 
     # (row name, family, n, chain iters). The three dense rows track every
     # routed schedule: resident <= 1536 is covered by LeNet5; 4096 = BLK=256
@@ -386,43 +591,62 @@ def main():
     # 16384 = BLK_BIG cap (VERDICT r3 weak #3: the gridded regime had
     # correctness coverage but no tracked throughput).
     rows = [
-        ("diag", "diag", 1 << 22, 100),
-        ("xmat", "xmat", 1 << 22, 100),
-        ("shift", "shift", 1 << 22, 100),
-        ("lra", "lra", 1 << 20, 100),
-        ("splu", "splu", 1 << 16, 100),
-        ("splu_big", "splu_big", 1 << 20, 100),
-        ("dense", "dense", 1 << 12, 100),
-        ("dense_8k", "dense", 1 << 13, 20),
-        ("dense_16k", "dense", 1 << 14, 8),
+        ("diag", "diag", 1 << 22, 100, jnp.float32),
+        ("xmat", "xmat", 1 << 22, 100, jnp.float32),
+        ("shift", "shift", 1 << 22, 100, jnp.float32),
+        ("lra", "lra", 1 << 20, 100, jnp.float32),
+        # the production bf16-state path (XLA formulation — kernels are
+        # fp32-only): quantifies the traffic-halving claim at bf16 byte
+        # accounting (VERDICT r4 ask #8)
+        ("lra_bf16", "lra", 1 << 20, 100, jnp.bfloat16),
+        ("splu", "splu", 1 << 16, 100, jnp.float32),
+        ("splu_big", "splu_big", 1 << 20, 100, jnp.float32),
+        ("dense", "dense", 1 << 12, 100, jnp.float32),
+        ("dense_8k", "dense", 1 << 13, 20, jnp.float32),
+        ("dense_16k", "dense", 1 << 14, 8, jnp.float32),
     ]
-    for rowname, famname, n, iters in rows:
+    for rowname, famname, n, iters, dtype in rows:
         try:
-            nps, spread = bench_family_nnz_per_sec(famname, n, iters=iters)
+            nps, spread = bench_family_nnz_per_sec(
+                famname, n, iters=iters, dtype=dtype)
             results[f"{rowname}_nnz_per_sec"] = nps
             results[f"{rowname}_slopes_us"] = spread["slopes_us"]
             results[f"{rowname}_rel_spread"] = spread["rel_spread"]
             sol = ""
             if stream_bw:
                 nnz = family_nnz(famname, n)
-                gbs = family_traffic_bytes(famname, n) * (nps / nnz) / 1e9
+                el_bytes = jnp.dtype(dtype).itemsize
+                gbs = (family_traffic_bytes(famname, n) * (el_bytes / 4.0)
+                       * (nps / nnz) / 1e9)
                 frac = gbs / stream_bw
                 streams = ROUTED_STREAMS[famname]
                 law = _law_ceiling(streams)
                 results[f"{rowname}_pct_of_stream_bound"] = frac
                 results[f"{rowname}_achieved_gb_per_sec"] = gbs
-                if frac > 1:
+                dt = nnz / nps
+                flops = family_mxu_flops(famname, n)
+                if dtype != jnp.float32:
+                    # XLA path (kernels fp32-only): the pallas per-buffer
+                    # law is not this schedule's ceiling; report traffic
+                    # vs the saxpy bound only
+                    sol = (f"  traffic {gbs:6.0f} GB/s = {frac:5.1%} of "
+                           f"HBM bound (XLA path, {el_bytes}B state)")
+                elif frac > 1:
                     # above the HBM bound = VMEM-resident working set; an
                     # HBM per-buffer ceiling is meaningless there
                     sol = (f"  traffic {gbs:6.0f} GB/s = {frac:5.1%} of "
                            "HBM bound (VMEM-resident)")
+                    sol += _roofline(results, rowname, dt, gbs, 0.0,
+                                     flops, mxu_peak)
                 else:
                     results[f"{rowname}_pct_of_{streams}buf_law"] = gbs / law
                     sol = (
                         f"  traffic {gbs:6.0f} GB/s = {frac:5.1%} of HBM "
                         f"bound | {gbs / law:5.1%} of {streams}-buf law "
-                        f"({law:.0f})"
+                        f"({law:.0f}{_law_tag(streams)})"
                     )
+                    sol += _roofline(results, rowname, dt, gbs, law,
+                                     flops, mxu_peak)
             log(f"{rowname:8s} n={n:>8d}  {nps/1e9:8.3f} Gnnz/s"
                 f" (spread {spread['rel_spread']:.1%}){sol}")
         except Exception as exc:  # noqa: BLE001 — report and continue
@@ -459,8 +683,13 @@ def main():
                 results[f"{name}_pct_of_{streams}buf_law"] = gbs / law
                 sol = (
                     f"  traffic {gbs:6.0f} GB/s = {frac:5.1%} of HBM bound"
-                    f" | {gbs / law:5.1%} of {streams}-buf law ({law:.0f})"
+                    f" | {gbs / law:5.1%} of {streams}-buf law "
+                    f"({law:.0f}{_law_tag(streams)})"
                 )
+                dt = float(shape[0]) * shape[1] / gps
+                flops = KRON_MXU_FLOPS[name](*shape)
+                sol += _roofline(results, name, dt, gbs, law, flops,
+                                 mxu_peak)
             log(f"{name} {fmt} {shape}  {gps/1e9:8.3f} Gelem/s"
                 f" (spread {spread['rel_spread']:.1%}){sol}")
         except Exception as exc:  # noqa: BLE001
@@ -471,10 +700,27 @@ def main():
         results["nmt_fd_step_us"] = nmt_us
         results["nmt_fd_slopes_us"] = nmt_spread["slopes_us"]
         results["nmt_fd_rel_spread"] = nmt_spread["rel_spread"]
-        log(f"nmt mixed-kron FD step: {nmt_us:.0f} us/step "
+        log(f"nmt mixed-kron FD step (toy dims, vocab 32/embed 64/"
+            f"units 128): {nmt_us:.0f} us/step "
             f"(spread {nmt_spread['rel_spread']:.1%})")
     except Exception as exc:  # noqa: BLE001
         log(f"nmt bench failed: {exc}")
+
+    # the flagship at the REFERENCE's real dimensions (embed 256, units
+    # 1024, vocab 9414/4935, batch 64) with floor decomposition and
+    # verified kernel routing — VERDICT r4 ask #1
+    try:
+        phases, routes = bench_nmt_ref_dims()
+        for pname, ph in phases.items():
+            results[f"nmt_ref_{pname}_us"] = ph["us"]
+            results[f"nmt_ref_{pname}_rel_spread"] = ph["spread"]["rel_spread"]
+        results["nmt_ref_routes"] = sorted(
+            f"{k}->{v}" for k, v in routes.items())
+        log(f"nmt_ref_dims full FD step: {phases['full']['us']:.0f} us "
+            f"(grad {phases['grad']['us']:.0f} / +hvp "
+            f"{phases['hvp']['us']:.0f} / +qupd {phases['qupd']['us']:.0f})")
+    except Exception as exc:  # noqa: BLE001
+        log(f"nmt_ref_dims bench failed: {exc}")
 
     sps = bench_lenet5_steps_per_sec()
     results["lenet5_steps_per_sec"] = sps
@@ -496,7 +742,8 @@ def main():
                 "unit": "steps/s",
                 "vs_baseline": round(vs, 4),
                 "detail": {
-                    k: val if isinstance(val, list) else round(val, 3)
+                    k: round(val, 3) if isinstance(val, (int, float))
+                    else val
                     for k, val in results.items()
                 },
             }

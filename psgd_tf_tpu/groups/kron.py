@@ -402,6 +402,49 @@ def _sparse_dispatch(kind, xla_fn, a, b, dX, dG, s, t):
     return xla_fn(a, b, dX, dG, s, t)
 
 
+def route(fmt: tuple[Format, Format], shape: tuple[int, int]) -> str:
+    """Which UPDATE path would serve this (format pair, probe shape) with
+    kernels active on fp32 state — introspection for benches/tests so a
+    claimed kernel row can assert it is NOT silently riding the XLA
+    fallback (VERDICT r4 ask #1 "routing verified").
+
+    Returns one of:
+      'kron_dd'            — fused one-launch (dense, dense) kernel
+      'kron_sparse:<kind>' — VMEM-resident sparse-pair kernel
+      'kron_sparse_big:<kind>'       — gridded streaming kernel
+      'kron_sparse_big:ns_wide'      — the 2-D-grid wide-lane ns path
+      'xla'                — no kernel fits; XLA formulation
+    Mirror pairs report their canonical sibling's route (the dispatch
+    transposes exactly as `update` does).
+    """
+    from psgd_tf_tpu.ops import pallas as pallas_ops
+    from psgd_tf_tpu.ops.pallas import kron_sparse, kron_sparse_big
+
+    canon = {
+        ("dense", "dense"): ("dd", False),
+        ("norm", "dense"): ("nd", False),
+        ("dense", "norm"): ("nd", True),
+        ("dense", "scale"): ("ds", False),
+        ("scale", "dense"): ("ds", True),
+        ("norm", "scale"): ("ns", False),
+        ("scale", "norm"): ("ns", True),
+    }
+    if tuple(fmt) not in canon:
+        raise ValueError(f"unsupported Kronecker format pair: {fmt}")
+    kind, mirrored = canon[tuple(fmt)]
+    m, n = (shape[1], shape[0]) if mirrored else shape
+    if kind == "dd":
+        return ("kron_dd" if max(m, n) <= pallas_ops.kron_dd.MAX_SIDE
+                else "xla")
+    if kron_sparse.fits(m, n):
+        return f"kron_sparse:{kind}"
+    if kron_sparse_big.fits_grid(kind, m, n):
+        if kind == "ns" and -(-n // 128) * 128 > kron_sparse_big.MAX_LANES:
+            return "kron_sparse_big:ns_wide"
+        return f"kron_sparse_big:{kind}"
+    return "xla"
+
+
 def apply(state: KronState, G: jax.Array) -> jax.Array:
     # The arrow-left applies stay XLA at EVERY size: a single-pass pallas
     # apply exists (kron_sparse_big.fused_apply_{nd,ns}) but measured

@@ -35,6 +35,19 @@ class Config(NamedTuple):
     attn: int = 10
 
 
+def ref_config() -> Config:
+    """The reference REAL-run dimensions (ref :68-86): embedding_dim 256,
+    units 1024 on the 30k-example spa-eng corpus, whose fitted Keras
+    tokenizers yield vocab_inp_size 9414 (spa, `len(word_index) + 1`) and
+    vocab_tar_size 4935 (eng). Sequence lengths there are max_length_inp 16
+    / max_length_targ 11. Kernel shapes at these dims — the (9414, 256) /
+    (4935, 256) (scale, dense) embeddings, the (1281, 1024) / (2305, 1024)
+    (norm, scale) RNNs, the (1025, 4935) (norm, scale) fc — are what
+    `bench.py`'s nmt_ref rows measure with synthetic tokens (the kernels
+    do not care about text; VERDICT r4 ask #1)."""
+    return Config(vocab_src=9414, vocab_tgt=4935, embed=256, units=1024)
+
+
 def layer_shapes(cfg: Config):
     return [
         (cfg.vocab_src, cfg.embed),                     # encoder embedding

@@ -85,6 +85,39 @@ def _params():
     return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
 
 
+# In-kernel solve-GEMM mode for the gridded nd/ds substitutions. Mosaic
+# exposes no Precision.HIGH (it crashes lowering, tri.py:36-38), so the
+# bf16x3 middle ground is implemented MANUALLY below (VERDICT r4 ask #2):
+# split each fp32 operand into hi + lo bf16 halves and take the 3 cross
+# products (dropping lo*lo, whose magnitude is below fp32 rounding) — 3
+# MXU passes instead of HIGHEST's 6 or DEFAULT's 1. Static at trace
+# time: the A/B experiments flip it and clear the jit caches; the routed
+# default is whichever mode the measured accuracy/bandwidth table in
+# this module's history justifies. The Newton inverses (tri.py) keep
+# HIGHEST regardless — they are O(BS^3), off the streaming path, and
+# their mixed schedule already runs all-but-last-iteration at default.
+SOLVE_MODE = "highest"  # "highest" | "bf16x3" | "default"
+
+
+def _split_bf16(a):
+    hi = a.astype(jnp.bfloat16)
+    return hi, (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _solve_dot(a, b):
+    """a @ b for the in-kernel block substitutions at the SOLVE_MODE
+    precision (see module comment above)."""
+    if SOLVE_MODE == "highest":
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=tri_mod.SOLVE_PRECISION)
+    if SOLVE_MODE == "default":
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+    d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
+    return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
+
+
 def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
@@ -205,16 +238,10 @@ def _kernel_nd_big(dx_ref, dg_ref, ql0_ref, ql1_ref, w_ref, qr_ref,
     for j in range(nbq):
         acc = btm[:, j * BS:(j + 1) * BS]
         for k in range(j):
-            acc = acc - jnp.dot(
-                cols[k], qr[k * BS:(k + 1) * BS, j * BS:(j + 1) * BS],
-                preferred_element_type=jnp.float32,
-                precision=tri_mod.SOLVE_PRECISION,
+            acc = acc - _solve_dot(
+                cols[k], qr[k * BS:(k + 1) * BS, j * BS:(j + 1) * BS]
             )
-        cols.append(jnp.dot(
-            acc, invs_ref[j],
-            preferred_element_type=jnp.float32,
-            precision=tri_mod.SOLVE_PRECISION,
-        ))
+        cols.append(_solve_dot(acc, invs_ref[j]))
     bt = jnp.concatenate(cols, axis=1) if nbq > 1 else cols[0]
 
     diag_ref[:] = jnp.sum(a * a - bt * bt, axis=1, keepdims=True)
@@ -496,16 +523,10 @@ def _kernel_ds_big(dx_ref, dg_ref, ql_ref, qr_ref,
     for i in range(nbq):
         acc = dx[i * BS:(i + 1) * BS, :]
         for k in range(i):
-            acc = acc - jnp.dot(
-                ql[k * BS:(k + 1) * BS, i * BS:(i + 1) * BS].T, rows[k],
-                preferred_element_type=jnp.float32,
-                precision=tri_mod.SOLVE_PRECISION,
+            acc = acc - _solve_dot(
+                ql[k * BS:(k + 1) * BS, i * BS:(i + 1) * BS].T, rows[k]
             )
-        rows.append(jnp.dot(
-            invs_ref[i], acc,
-            preferred_element_type=jnp.float32,
-            precision=tri_mod.SOLVE_PRECISION,
-        ))
+        rows.append(_solve_dot(invs_ref[i], acc))
     bt = (jnp.concatenate(rows, axis=0) if nbq > 1 else rows[0]) / qr
 
     grad2_ref[:] = jnp.sum(a * a - bt * bt, axis=0, keepdims=True)

@@ -141,6 +141,14 @@ def comm_model(family: str, n_params: int | None = None, rank: int = 10,
             param_specs = [None] * len(param_shapes)
         if len(param_specs) != len(param_shapes):
             raise ValueError("param_specs must align with param_shapes")
+        if mesh_shape is None and any(sp is not None for sp in param_specs):
+            # a forgotten mesh_shape would silently treat every spec as
+            # degree 1 (tp_gather_bytes_per_step=0, full-size DP terms) —
+            # a plausible-looking but wrong TP accounting (ADVICE r4)
+            raise ValueError(
+                "param_specs given without mesh_shape: pass mesh_shape "
+                "(e.g. {'data': 4, 'shard': 2}) so shard degrees resolve"
+            )
         sizes = [int(_prod(s)) for s in param_shapes]
         degrees = [_shard_degree(sp) for sp in param_specs]
         locals_ = [_local_size(s, sp)

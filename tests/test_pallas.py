@@ -585,6 +585,68 @@ def test_wide_ns_routed_through_group_dispatch(monkeypatch):
     assert calls == [(16, 140000), (16, 140000)]  # mirror transposes in
 
 
+@pytest.mark.parametrize("mode", ["bf16x3", "default"])
+def test_nd_solve_mode_variants(monkeypatch, mode):
+    """The manual bf16x3 (HIGH-equivalent) and default solve-dot modes
+    must lower and stay near the XLA oracle; bf16x3's hi/lo-split
+    substitution should not be materially worse than the oracle path at
+    a well-conditioned size (the on-chip accuracy/bandwidth table lives
+    in kron_sparse_big.py's module comment)."""
+    import psgd_tf_tpu.ops.pallas.kron_sparse_big as ksb
+
+    monkeypatch.setattr(ksb, "SOLVE_MODE", mode)
+    ksb.fused_update_nd.clear_cache()
+    key = jax.random.PRNGKey(11)
+    shape = (1024, 384)   # past the resident cap -> gridded nd
+    st = kron.init(shape, fmt=("norm", "dense"), init_scale=0.9)
+    dX = jax.random.normal(jax.random.fold_in(key, 1), shape)
+    dG = jax.random.normal(jax.random.fold_in(key, 2), shape)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("shard",))
+    from psgd_tf_tpu.ops import pallas as pallas_ops
+
+    with pallas_ops.sharding(mesh):  # kernels_active() on CPU, interp
+        st2 = kron.update(st, dX, dG, step=0.05)
+    ref = kron.update(st, dX, dG, step=0.05)  # XLA path
+    tol = 5e-3 if mode == "default" else 5e-4
+    for a, b in zip(jax.tree_util.tree_leaves(st2),
+                    jax.tree_util.tree_leaves(ref), strict=True):
+        rel = float(np.max(np.abs(np.asarray(a) - np.asarray(b)))
+                    / (np.max(np.abs(np.asarray(b))) + 1e-30))
+        assert rel < tol, (mode, rel)
+    ksb.fused_update_nd.clear_cache()
+
+
+def test_kron_route_introspection():
+    """groups.kron.route must report the serving kernel for every probe
+    class — in particular every NMT layer at the reference's REAL
+    dimensions hits a kernel (VERDICT r4 ask #1 'no silent XLA
+    fallback'), and mirrors report their canonical sibling's route."""
+    from psgd_tf_tpu.models import nmt
+
+    cfg = nmt.ref_config()
+    routes = [
+        kron.route(f, s)
+        for f, s in zip(nmt.kron_formats(cfg), nmt.layer_shapes(cfg))
+    ]
+    assert routes == [
+        "kron_sparse_big:ds",   # (scale,dense) (9414, 256) — emb mirror
+        "kron_sparse_big:ns",   # (norm,scale) (1281, 1024) — enc rnn
+        "kron_sparse_big:ds",   # (scale,dense) (2048, 10) — attn in
+        "kron_dd",              # (dense,dense) (1, 10) — attn out
+        "kron_sparse_big:ds",   # (scale,dense) (4935, 256) — dec emb
+        "kron_sparse_big:ns",   # (norm,scale) (2305, 1024) — dec rnn
+        "kron_sparse_big:ns",   # (norm,scale) (1025, 4935) — dec fc
+    ]
+    # regime boundaries: resident, wide-lane, and the true fallback
+    assert kron.route(("norm", "scale"), (256, 256)) == "kron_sparse:ns"
+    assert kron.route(("norm", "scale"), (128, 1_000_000)) == \
+        "kron_sparse_big:ns_wide"
+    assert kron.route(("scale", "norm"), (1_000_000, 128)) == \
+        "kron_sparse_big:ns_wide"
+    assert kron.route(("norm", "dense"), (4096, 2048)) == "xla"
+    assert kron.route(("dense", "dense"), (64, 64)) == "kron_dd"
+
+
 @pytest.mark.parametrize("n,r", [(100, 10), (300, 4), (48, 1)])
 def test_splu_mono_kernel_matches_xla_path(n, r):
     """fused_update_apply_mono (one-launch schedule) vs the XLA oracle.

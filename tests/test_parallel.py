@@ -388,3 +388,14 @@ def test_comm_model_tp_accounting():
     loc = 13 * 24  # ceil(25/2) rows
     assert odd["dp_bytes_per_step"] == 2 * loc * 4
     assert odd["tp_gather_bytes_per_step"] == 3 * (2 - 1) * loc * 4
+    # a non-None spec without mesh_shape must be loud, not a silently
+    # degree-1 (wrong) TP accounting (ADVICE r4)
+    import pytest
+
+    with pytest.raises(ValueError, match="mesh_shape"):
+        overlap.comm_model("kron", param_shapes=[(25, 24)],
+                           param_specs=[P("shard", None)])
+    # all-None specs stay legal without a mesh (legacy replicated call)
+    ok = overlap.comm_model("kron", param_shapes=[(25, 24)],
+                            param_specs=[None])
+    assert ok["tp_gather_bytes_per_step"] == 0

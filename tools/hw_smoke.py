@@ -129,6 +129,15 @@ def check_kron():
         ("norm", "scale", "wide"): (128, 1_000_000),
         ("dense", "scale"): (512, 131072),
         ("dense", "dense"): (kron_dd.MAX_SIDE, kron_dd.MAX_SIDE),
+        # the NMT workload at the reference's REAL dimensions (embed 256,
+        # units 1024, spa-eng vocab 9414/4935 — models/nmt.ref_config,
+        # VERDICT r4 ask #1): the vocab-scale (scale, dense) embedding
+        # (mirrors to ds), the decoder RNN's (norm, scale) at
+        # (2*1024+256+1, 1024), and the (norm, scale) fc over the target
+        # vocab
+        ("scale", "dense", "nmt_emb"): (9414, 256),
+        ("norm", "scale", "nmt_rnn"): (2305, 1024),
+        ("norm", "scale", "nmt_fc"): (1025, 4935),
     }
     ok = True
     for fmt, shape in shapes.items():

@@ -264,18 +264,48 @@ def main() -> None:
     env.pop("JAX_PLATFORMS", None)  # worker pins cpu itself (axon site
     # config would otherwise grab the TPU tunnel in both processes)
     env["PSGD_MP_CKPT_DIR"] = tempfile.mkdtemp(prefix="psgd_mp_ckpt_")
-    with socket.socket() as s:  # OS-assigned free port for the coordinator
-        s.bind(("localhost", 0))
-        env[COORD_ENV] = f"localhost:{s.getsockname()[1]}"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(i)],
-            env=env,
+
+    # The OS-assigned free port is probed by bind-then-close, so there is
+    # an unavoidable TOCTOU window before worker 0's gRPC coordinator
+    # rebinds it (holding it open doesn't help: the coordinator's bind
+    # would then collide with OURS). Instead, recognize the bind-failure
+    # signature in the worker logs and retry the whole launch on a fresh
+    # port (ADVICE r4) — a lost race is loud and self-healing rather than
+    # a flaky failure.
+    for attempt in range(3):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            env[COORD_ENV] = f"localhost:{s.getsockname()[1]}"
+        logs = [
+            tempfile.NamedTemporaryFile(
+                mode="w+", prefix=f"psgd_mp_w{i}_", suffix=".log", delete=False
+            )
+            for i in range(NPROC)
+        ]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(i)],
+                env=env, stdout=log, stderr=subprocess.STDOUT,
+            )
+            for i, log in enumerate(logs)
+        ]
+        rcs = [p.wait() for p in procs]
+        texts = []
+        for log in logs:
+            log.seek(0)
+            texts.append(log.read())
+            log.close()
+        for i, text in enumerate(texts):
+            sys.stdout.write(text if text.endswith("\n") or not text
+                             else text + "\n")
+        ok = all(rc == 0 for rc in rcs)
+        port_lost = not ok and any(
+            "address already in use" in t.lower() for t in texts
         )
-        for i in range(NPROC)
-    ]
-    rcs = [p.wait() for p in procs]
-    ok = all(rc == 0 for rc in rcs)
+        if ok or not port_lost:
+            break
+        print(f"multiproc_dryrun: coordinator port race lost "
+              f"(attempt {attempt + 1}); retrying on a fresh port", flush=True)
     print(f"multiproc_dryrun: {NPROC} processes x {LOCAL_DEVICES} devices "
           f"-> {'OK' if ok else f'FAIL (rcs={rcs})'}", flush=True)
     sys.exit(0 if ok else 1)
