@@ -32,7 +32,7 @@ def test_multiproc_dryrun_passes():
     env = dict(os.environ)
     proc = subprocess.run(
         [sys.executable, TOOL], env=env, capture_output=True, text=True,
-        timeout=600,
+        timeout=900,  # ~7 min with the NMT flagship leg (r5)
     )
     sys.stdout.write(proc.stdout[-2000:])
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]

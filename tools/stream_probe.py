@@ -45,7 +45,7 @@ def _kernel(*refs, k):
     acc = jnp.zeros((), jnp.float32)
     for r in ins:
         acc = acc + jnp.sum(r[:])
-    out[0, 0] += acc
+    out[:] += acc  # broadcast over the (1, 128) row (no scalar stores)
 
 
 def _run_once(k: int, rows: int, interpret: bool = False):
@@ -59,43 +59,71 @@ def _run_once(k: int, rows: int, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
         interpret=interpret,
+        # k double-buffered 4MB blocks exceed the 16MB default scoped
+        # limit at k >= 2 (measured: k=2 overran by 1KB)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
     )
 
 
-def measure(k: int, total_bytes: float, reps: int = 3):
-    """Aggregate GB/s moving `total_bytes` split over k separate arrays."""
-    rows_big = int(total_bytes / k / (4 * LANES) // BLK_ROWS * BLK_ROWS)
-    rows_small = max(BLK_ROWS, rows_big // 4)
-    run_b = jax.jit(_run_once(k, rows_big))
-    run_s = jax.jit(_run_once(k, rows_small))
+def _chained(kernel, n_sets):
+    """One jit executing the kernel over `n_sets` INDEPENDENT fresh input
+    sets via lax.scan whose xs (NOT carry) are the stacked arrays — every
+    iteration reads a distinct HBM slice, and the whole chain is one
+    execution, so per-execution tunnel noise cancels in the n_sets slope.
+    (Two earlier methods failed here: single-execution size-slopes
+    measured 86 GB/s at k=1 — fixed costs scale with payload through the
+    tunnel — and unrolled multi-execution jits gave +-10x rep spreads.)"""
+    @jax.jit
+    def run(stacked):  # tuple of k arrays, each (n_sets, rows, LANES)
+        def body(acc, xs):
+            return acc + kernel(*xs)[0, 0], None
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), stacked, length=n_sets)
+        return acc
+    return run
 
-    def fresh(rep, rows):
+
+def measure(k: int, set_bytes: float, reps: int = 3,
+            k_small: int = 8, k_big: int = 40):
+    """Aggregate GB/s moving `set_bytes` per kernel execution, split over
+    k separate arrays, slope between k_small and k_big chained sets."""
+    rows = int(set_bytes / k / (4 * LANES) // BLK_ROWS * BLK_ROWS)
+    kernel = _run_once(k, rows)
+    run_s = _chained(kernel, k_small)
+    run_b = _chained(kernel, k_big)
+
+    def fresh(rep, n_sets):
         ks = jax.random.split(jax.random.PRNGKey(rep), k)
-        arrs = [jax.random.normal(kk, (rows, LANES), jnp.float32)
-                for kk in ks]
-        jax.block_until_ready(arrs)
-        return arrs
+        stacked = tuple(
+            jax.random.normal(kk, (n_sets, rows, LANES), jnp.float32)
+            for kk in ks)
+        jax.block_until_ready(stacked)
+        return stacked
 
-    float(run_b(*fresh(0, rows_big))[0, 0])   # warm compiles
-    float(run_s(*fresh(0, rows_small))[0, 0])
+    float(run_s(fresh(0, k_small)))   # warm compiles
+    float(run_b(fresh(1, k_big)))
     slopes = []
     for rep in range(1, reps + 1):
-        a_s = fresh(rep, rows_small)
+        a_s = fresh(10 + rep, k_small)
         t0 = time.perf_counter()
-        float(run_s(*a_s)[0, 0])
+        float(run_s(a_s))
         t_s = time.perf_counter() - t0
-        a_b = fresh(rep + 100, rows_big)
+        del a_s
+        a_b = fresh(100 + rep, k_big)
         t0 = time.perf_counter()
-        float(run_b(*a_b)[0, 0])
+        float(run_b(a_b))
         t_b = time.perf_counter() - t0
-        d_bytes = 4.0 * LANES * (rows_big - rows_small) * k
+        del a_b
+        d_bytes = 4.0 * LANES * rows * k * (k_big - k_small)
         slopes.append(d_bytes / (t_b - t_s) / 1e9)
     slopes.sort()
     return slopes[len(slopes) // 2], slopes
 
 
 def main():
-    total_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 4096.0
+    # per-SET working set; k_big = 40 stacked sets live at once, so keep
+    # the footprint (40x this) well under the 16GB chip
+    total_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 128.0
     print(f"backend={jax.default_backend()} total={total_mb:.0f} MB",
           flush=True)
     for k in (1, 2, 3, 4):
