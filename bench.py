@@ -175,48 +175,38 @@ def measure_stream_bw(n: int = 1 << 25) -> float:
     return 8.0 * n / dt / 1e9
 
 
-# Per-buffer DMA-stream law, measured r3 (/tmp/dma_streams.py; CLAUDE.md):
-# a pallas kernel's HBM bandwidth is PER concurrently-streamed separate
-# buffer — ~226 GB/s with one, ~347 with two, ~888 with four (the chip's
-# real multi-stream bound). SHAPE-DEPENDENT operating points, not a law of
-# nature: the routed lra schedule (720KB blocks) sustains ~475 GB/s over 3
-# kernels, above the 2-buffer figure. The ledger below prints each routed
-# kernel's achieved GB/s next to this ceiling for its stream count so a
-# "% of saxpy bound" never again masquerades as "% of what THIS schedule
-# could reach" (VERDICT r3 weak #1). 1/2/4 are the r3 measured points;
-# 3 is interpolated pending tools/stream_probe.py's measurement.
-STREAM_LAW = {1: 226.0, 2: 347.0, 3: 620.0, 4: 888.0}
-STREAM_LAW_MEASURED = {1, 2, 4}  # keys with a measured (not interpolated)
-#                                # figure; others are tagged "~interp" in
-#                                # the ledger (ADVICE r4)
+# HBM stream laws, measured r5 (tools/stream_probe.py: 512MB buffers,
+# 4MB blocks, 5-rep chained slopes, spreads <= 5%): pallas streaming at
+# this operating point is FLAT in buffer count — read-only sustains
+# ~750 GB/s aggregate for k = 1..4 separate buffers and read+write ~660
+# (numerically equal to the XLA saxpy bound, cross-validating the
+# harness). The r3 "per-buffer law" (226 GB/s x k, the previous ledger's
+# denominators) does NOT reproduce there and is RETIRED as a ceiling:
+# it was an operating point of small working sets and a noisier harness,
+# not a DMA-concurrency property (history in CLAUDE.md). Each row below
+# is judged against the law for its schedule's dominant direction mix —
+# kernels whose big streams are pure reads (the kron probe sweeps)
+# against READ, kernels that rewrite their state in the same pass
+# against MIXED.
+STREAM_LAW = {"read": 750.0, "mixed": 660.0}
 
-# Concurrent separate-buffer streams in the family's dominant routed
-# kernel phase (counting gridded, non-replicated HBM operands incl.
-# streamed outputs; same-array multi-spec does not parallelize):
-ROUTED_STREAMS = {
-    "diag": 4,       # q, v|h packed, g, out + q' (VMEM-resident anyway)
-    "xmat": 4,       # folded state, probe pair, g, out/state'
-    "shift": 4,
-    "lra": 3,        # packed (2r, n) UV, v|h rows, out (3-kernel schedule)
-    "splu": 1,       # VMEM-resident single launch: latency-, not stream-bound
-    "splu_big": 2,   # rank-major L/U tails stream per pass (2 arrays)
-    "dense": 2,      # update sweep streams Q in AND Q' out concurrently
-                     # (r4 measured: 339-376 GB/s achieved = 98-108% of the
-                     # 2-buf law across n=4k/8k/16k — the dense "53% of
-                     # saxpy" plateau IS the 2-buffer ceiling)
-    "kron_nd": 2,    # dX, dG row panels
-    "kron_ns": 2,
-    "kron_ns_wide": 2,
-    "kron_ds": 2,
+ROUTED_LAW = {
+    "diag": "mixed",      # q read + q' written (VMEM-resident anyway)
+    "xmat": "mixed",
+    "shift": "mixed",
+    "lra": "mixed",       # packed (2r, n) UV read 3x + written once
+    "splu": "mixed",      # VMEM-resident single launch: latency-bound
+    "splu_big": "mixed",  # rank-major tails read 3x + written once
+    "dense": "mixed",     # Q read twice + Q' written once
+    "kron_nd": "read",    # dX, dG probe panels; factor outputs are O(m+n)
+    "kron_ns": "read",
+    "kron_ns_wide": "read",
+    "kron_ds": "read",
 }
 
 
-def _law_ceiling(streams: int) -> float:
-    return STREAM_LAW.get(streams, min(888.0, streams * 226.0))
-
-
-def _law_tag(streams: int) -> str:
-    return "" if streams in STREAM_LAW_MEASURED else "~interp"
+def _law_ceiling(kind: str) -> float:
+    return STREAM_LAW[kind]
 
 
 def measure_mxu_peak(n: int = 4096) -> float:
@@ -619,31 +609,30 @@ def main():
                 gbs = (family_traffic_bytes(famname, n) * (el_bytes / 4.0)
                        * (nps / nnz) / 1e9)
                 frac = gbs / stream_bw
-                streams = ROUTED_STREAMS[famname]
-                law = _law_ceiling(streams)
+                kind = ROUTED_LAW[famname]
+                law = _law_ceiling(kind)
                 results[f"{rowname}_pct_of_stream_bound"] = frac
                 results[f"{rowname}_achieved_gb_per_sec"] = gbs
                 dt = nnz / nps
                 flops = family_mxu_flops(famname, n)
                 if dtype != jnp.float32:
-                    # XLA path (kernels fp32-only): the pallas per-buffer
-                    # law is not this schedule's ceiling; report traffic
-                    # vs the saxpy bound only
+                    # XLA path (kernels fp32-only): report traffic vs the
+                    # saxpy bound only
                     sol = (f"  traffic {gbs:6.0f} GB/s = {frac:5.1%} of "
                            f"HBM bound (XLA path, {el_bytes}B state)")
                 elif frac > 1:
                     # above the HBM bound = VMEM-resident working set; an
-                    # HBM per-buffer ceiling is meaningless there
+                    # HBM stream ceiling is meaningless there
                     sol = (f"  traffic {gbs:6.0f} GB/s = {frac:5.1%} of "
                            "HBM bound (VMEM-resident)")
                     sol += _roofline(results, rowname, dt, gbs, 0.0,
                                      flops, mxu_peak)
                 else:
-                    results[f"{rowname}_pct_of_{streams}buf_law"] = gbs / law
+                    results[f"{rowname}_pct_of_{kind}_law"] = gbs / law
                     sol = (
                         f"  traffic {gbs:6.0f} GB/s = {frac:5.1%} of HBM "
-                        f"bound | {gbs / law:5.1%} of {streams}-buf law "
-                        f"({law:.0f}{_law_tag(streams)})"
+                        f"bound | {gbs / law:5.1%} of {kind} law "
+                        f"({law:.0f})"
                     )
                     sol += _roofline(results, rowname, dt, gbs, law,
                                      flops, mxu_peak)
@@ -676,15 +665,14 @@ def main():
             sol = ""
             if stream_bw:
                 frac = gbs / stream_bw
-                streams = ROUTED_STREAMS[name]
-                law = _law_ceiling(streams)
+                kind = ROUTED_LAW[name]
+                law = _law_ceiling(kind)
                 results[f"{name}_pct_of_stream_bound"] = frac
                 results[f"{name}_achieved_gb_per_sec"] = gbs
-                results[f"{name}_pct_of_{streams}buf_law"] = gbs / law
+                results[f"{name}_pct_of_{kind}_law"] = gbs / law
                 sol = (
                     f"  traffic {gbs:6.0f} GB/s = {frac:5.1%} of HBM bound"
-                    f" | {gbs / law:5.1%} of {streams}-buf law "
-                    f"({law:.0f}{_law_tag(streams)})"
+                    f" | {gbs / law:5.1%} of {kind} law ({law:.0f})"
                 )
                 dt = float(shape[0]) * shape[1] / gps
                 flops = KRON_MXU_FLOPS[name](*shape)

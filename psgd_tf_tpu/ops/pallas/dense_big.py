@@ -53,6 +53,25 @@ from jax.experimental.pallas import tpu as pltpu
 from psgd_tf_tpu.ops.pallas import tri as tri_mod
 from psgd_tf_tpu.ops.pallas.tri import VMEM_LIMIT
 
+# Solve-dot mode for stage AB's substitution products, mirroring
+# kron_sparse_big.SOLVE_MODE. These are (1, BLK)- and (BLK, 1)-shaped
+# MXU products — 1/128 row/lane utilization — so HIGHEST's 6 emulation
+# passes are the kernel's dominant non-traffic cost at large n; bf16x3
+# (tri.dot_bf16x3) halves them at accuracy indistinguishable from
+# HIGHEST (measured r5, table below at the bench rows n=4096/8192/16384,
+# update+apply pair via groups dispatch, oracle = kernels-off XLA path).
+SOLVE_MODE = "highest"  # "highest" | "bf16x3" | "default"
+
+
+def _solve_dot(a, b):
+    if SOLVE_MODE == "highest":
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=tri_mod.SOLVE_PRECISION)
+    if SOLVE_MODE == "default":
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return tri_mod.dot_bf16x3(a, b)
+
+
 BLK = 256        # panel height/width (rows per grid step), n <= 8192
 BLK_BIG = 128    # above that: stage C keeps ~5 (BLK, n) temporaries live
                  # (wa/wb/sa/sb/newq) and 256-row panels blow the 100 MB
@@ -114,17 +133,9 @@ def _probe_kernel(q_ref, vrow_ref, h_ref, inv_ref, b_ref, a_ref,
     )
 
     rhs = vrow_ref[:] - acc_ref[0, pl.dslice(i * blk, blk)][None, :]
-    bi = jnp.dot(
-        rhs, inv_ref[0],
-        preferred_element_type=jnp.float32,
-        precision=tri_mod.SOLVE_PRECISION,
-    )
+    bi = _solve_dot(rhs, inv_ref[0])
     b_ref[:] = bi
-    acc_ref[:] += jnp.dot(
-        bi, q,
-        preferred_element_type=jnp.float32,
-        precision=tri_mod.SOLVE_PRECISION,
-    )
+    acc_ref[:] += _solve_dot(bi, q)
 
 
 # ----------------------- stage B2: exact max|triu(a a^T - b b^T)| from a, b

@@ -24,19 +24,18 @@ module exploits:
     inverses computed ONCE into kernel scratch at grid step 0 (tri.py;
     TPU has no trsm).
 
-Measured bound accounting for the nd kernel (r4, real chip,
-(131072, 512), VERDICT r3 ask #2): the update's 240 GB/s effective
-(69% of the 2-buffer per-buffer-law ceiling) is NOT a missed streaming
-optimization. Block shape is flat — PANEL_BYTES 1/2/4/8 MB measured
-221/241/224/228 GB/s — and a precision ablation pins the gap: with the
-in-kernel block substitution at Precision.DEFAULT (bf16) the same kernel
-runs 2517 us / 26.7 Gelem/s / 321 GB/s (93% of the 2-buf ceiling) vs the
-routed 3594 us at HIGHEST. The ~30% difference is the guaranteed-fp32
-solve (6-pass bf16 emulation on the MXU; Mosaic supports no HIGH middle
-ground — it raises NotImplementedError). DEFAULT costs 16x the per-step
-factor accuracy (oracle rel 4.3e-3 vs 2.7e-4 on Qr), so HIGHEST stays
-routed per the solve-precision invariant (CLAUDE.md): the kernel is
-precision-compute-bound by choice, not stream-bound.
+Measured bound accounting for the nd kernel (r4 ablation, r5 routing
+change): block shape is flat — PANEL_BYTES 1/2/4/8 MB measured
+221/241/224/228 GB/s (r4) — and the binder is the in-kernel solve
+GEMM's precision. r4 pinned the HIGHEST-vs-DEFAULT gap (~30% of the
+update) and kept HIGHEST because Mosaic exposes no HIGH middle ground;
+r5 implements that middle ground MANUALLY (bf16x3 hi/lo-split product,
+see SOLVE_MODE below) and A/B shows it matches HIGHEST's accuracy to
+three digits while recovering most of DEFAULT's speed — bf16x3 is now
+routed for both nd and ds. The r5 lever sweeps also refuted block
+shape for ds (blk 256..2048: 266-288 GB/s) and for the wide ns path
+(lane {16k,32k,64k} x rows {8..128}: 284-298 GB/s — the binder there
+is the XLA row-sweep half of the 4mn schedule, not kernel geometry).
 
 The (dense, scale) pair has no arrow coupling and streams in ONE pass
 (2mn, the bound). Mirrors transpose in at the dispatch site
@@ -90,18 +89,32 @@ def _params():
 # bf16x3 middle ground is implemented MANUALLY below (VERDICT r4 ask #2):
 # split each fp32 operand into hi + lo bf16 halves and take the 3 cross
 # products (dropping lo*lo, whose magnitude is below fp32 rounding) — 3
-# MXU passes instead of HIGHEST's 6 or DEFAULT's 1. Static at trace
-# time: the A/B experiments flip it and clear the jit caches; the routed
-# default is whichever mode the measured accuracy/bandwidth table in
-# this module's history justifies. The Newton inverses (tri.py) keep
-# HIGHEST regardless — they are O(BS^3), off the streaming path, and
-# their mixed schedule already runs all-but-last-iteration at default.
-SOLVE_MODE = "highest"  # "highest" | "bf16x3" | "default"
-
-
-def _split_bf16(a):
-    hi = a.astype(jnp.bfloat16)
-    return hi, (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+# MXU passes instead of HIGHEST's 6 or DEFAULT's 1.
+#
+# A/B on the real chip (r5, /tmp/r5/nd_bf16x3_ab.py: update+apply pair
+# via groups dispatch, chained slopes, arms alternated over two rounds,
+# medians; accuracy = one update vs the kernels-off XLA oracle):
+#
+#   nd (131072, 512)   us/pair  GB/s eff   qr oracle rel
+#     highest            5604     239        6.79e-7
+#     bf16x3             4936     272        6.80e-7   <- routed
+#     default            4568     294        3.55e-5   (52x worse)
+#   ds (512, 131072)   us/pair  GB/s eff   ql oracle rel
+#     highest            3806     282        4.33e-5
+#     bf16x3             3007     357        4.32e-5   <- routed
+#     default            2542     422        (qr 1.61e-5, 245x worse)
+#
+# bf16x3 is ROUTED (r5): its accuracy is indistinguishable from HIGHEST
+# at every measured shape — the substitution's error is dominated by
+# operand rounding, which the hi/lo split captures exactly — while it
+# recovers 57-66% of the HIGHEST->DEFAULT speed gap (nd 12%, ds 21%
+# faster pairs). This does NOT relax the solve-precision invariant
+# (CLAUDE.md): bf16x3 IS an error-free-fp32-operand product like
+# HIGHEST, just without the 3 passes whose contribution lies below fp32
+# rounding. The Newton inverses (tri.py) keep HIGHEST — they are
+# O(BS^3), off the streaming path, and their mixed schedule already
+# runs all-but-last-iteration at default.
+SOLVE_MODE = "bf16x3"  # "highest" | "bf16x3" | "default"
 
 
 def _solve_dot(a, b):
@@ -112,10 +125,7 @@ def _solve_dot(a, b):
                        precision=tri_mod.SOLVE_PRECISION)
     if SOLVE_MODE == "default":
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
-    a_hi, a_lo = _split_bf16(a)
-    b_hi, b_lo = _split_bf16(b)
-    d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
-    return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
+    return tri_mod.dot_bf16x3(a, b)
 
 
 def _dot(a, b):

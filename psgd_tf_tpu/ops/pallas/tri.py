@@ -35,8 +35,26 @@ MAX_N = 768  # VMEM cap for the single-launch kernel (measured: 1024 OOMs the 16
 # amplifies rounding, so solves stay exact while statistical GEMMs run
 # default bf16 (docs/design.md). Precision.HIGH (bf16x3) was tried as a
 # cheaper option and crashes pallas lowering on this jax version
-# (mlir closed_call cache KeyError), so it is not exposed as a knob.
+# (mlir closed_call cache KeyError) — dot_bf16x3 below implements it
+# manually, and the streaming substitutions route through it since r5
+# (A/B table in kron_sparse_big.py: accuracy indistinguishable from
+# HIGHEST, 57-66% of the HIGHEST->DEFAULT speed gap recovered).
 SOLVE_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def dot_bf16x3(a, b):
+    """a @ b as the 3-pass hi/lo bf16 split product (the HIGH-equivalent
+    Mosaic does not expose): a = a_hi + a_lo exactly captures fp32
+    operand bits in two bf16 halves; of the four cross products only
+    lo*lo (magnitude < 2^-16 of hi*hi, below fp32 result rounding) is
+    dropped. Accuracy measured indistinguishable from HIGHEST on the
+    routed substitutions (kron_sparse_big.py's r5 A/B table)."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
+    return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
 
 
 def _cdiv(a: int, b: int) -> int:

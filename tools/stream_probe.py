@@ -7,129 +7,127 @@ SEPARATE input buffers concurrently, for K = 1..4 — the r3 experiment
 reproducible and the 3-buffer figure is MEASURED rather than interpolated
 (ADVICE r4).
 
-Method honest against the tunnel + caches (CLAUDE.md timing rules):
-  * inputs are FRESH HBM arrays per repetition — never scan carries (a
-    carried operand stays VMEM-resident and reports >HBM-spec figures,
-    the "1047 GB/s" artifact);
-  * ONE pallas_call per timing (grid streams the whole working set), two
-    working-set sizes, slope = (t_big - t_small) / (bytes_big -
-    bytes_small) cancels the fixed ~23 ms host->device round trip;
-  * device->host value read as the sync barrier;
-  * median of 3 rep slopes, all slopes printed.
+Timing method (the third attempt; the first two are cautionary tales):
+  * single-execution size-slopes measured 86 GB/s at k=1 — fixed
+    per-execution costs scale with payload through this tunnel;
+  * unrolled multi-execution jits gave +-10x rep spreads — per-execution
+    noise is ~10 ms and the signal was ~15 ms.
+  What works is the bench's chained-scan slope with one twist: the
+  streamed arrays are LOOP-INVARIANT scan carries (passed through
+  unchanged), each 512 MB per buffer — far above VMEM, so re-reading
+  them every iteration is a real HBM stream (the CLAUDE.md carry-
+  residency trap only bites when the carried working set fits VMEM) —
+  and a tiny per-iteration counter row feeds the kernel so consecutive
+  calls are not identical (no hoisting/CSE, no request-cache hits).
+  Chain lengths adapt to ~0.4 s of device work exactly as bench.py does.
 
-Run on the real chip:  python tools/stream_probe.py [total_mb]
+Run on the real chip:  python tools/stream_probe.py [mb_per_buffer]
 """
 from __future__ import annotations
 
 import functools
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+REPO = "/root/repo"
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from bench import time_chained  # noqa: E402
+
 LANES = 32768          # fp32 row = 128 KB
 BLK_ROWS = 32          # 4 MB per-buffer block
 
 
 def _kernel(*refs, k):
-    ins, out = refs[:k], refs[k]
+    c_ref, ins, out = refs[0], refs[1:k + 1], refs[k + 1]
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         out[:] = jnp.zeros_like(out)
 
-    acc = jnp.zeros((), jnp.float32)
+    acc = c_ref[0, 0] * 1e-20  # ties the varying counter into the result
     for r in ins:
         acc = acc + jnp.sum(r[:])
-    out[:] += acc  # broadcast over the (1, 128) row (no scalar stores)
+    out[:] += acc
 
 
-def _run_once(k: int, rows: int, interpret: bool = False):
+def _kernel_copy(*refs, k):
+    """k streamed reads AND k streamed writes (out_i = in_i + c) — the
+    read+write operating point most routed kernels live at (state in,
+    state' out)."""
+    c_ref, ins = refs[0], refs[1:k + 1]
+    outs = refs[k + 1:]
+    c = c_ref[0, 0] * 1e-20
+    for r, o in zip(ins, outs):
+        o[:] = r[:] + c
+
+
+def _build(k: int, rows: int, copy: bool = False):
     spec = pl.BlockSpec((BLK_ROWS, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
+    crow = pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    if copy:
+        out_specs = tuple([spec] * k)
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+            for _ in range(k))
+        kern = functools.partial(_kernel_copy, k=k)
+    else:
+        out_specs = crow
+        out_shape = jax.ShapeDtypeStruct((1, 128), jnp.float32)
+        kern = functools.partial(_kernel, k=k)
     return pl.pallas_call(
-        functools.partial(_kernel, k=k),
+        kern,
         grid=(rows // BLK_ROWS,),
-        in_specs=[spec] * k,
-        out_specs=pl.BlockSpec((1, 128), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
-        interpret=interpret,
+        in_specs=[crow] + [spec] * k,
+        out_specs=out_specs,
+        out_shape=out_shape,
         # k double-buffered 4MB blocks exceed the 16MB default scoped
         # limit at k >= 2 (measured: k=2 overran by 1KB)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
     )
 
 
-def _chained(kernel, n_sets):
-    """One jit executing the kernel over `n_sets` INDEPENDENT fresh input
-    sets via lax.scan whose xs (NOT carry) are the stacked arrays — every
-    iteration reads a distinct HBM slice, and the whole chain is one
-    execution, so per-execution tunnel noise cancels in the n_sets slope.
-    (Two earlier methods failed here: single-execution size-slopes
-    measured 86 GB/s at k=1 — fixed costs scale with payload through the
-    tunnel — and unrolled multi-execution jits gave +-10x rep spreads.)"""
-    @jax.jit
-    def run(stacked):  # tuple of k arrays, each (n_sets, rows, LANES)
-        def body(acc, xs):
-            return acc + kernel(*xs)[0, 0], None
-        acc, _ = jax.lax.scan(
-            body, jnp.zeros((), jnp.float32), stacked, length=n_sets)
-        return acc
-    return run
+def measure(k: int, buf_bytes: float, copy: bool = False, reps: int = 5):
+    """Aggregate GB/s streaming k separate `buf_bytes` arrays per call
+    (2k streams counting reads + writes when copy=True)."""
+    rows = int(buf_bytes / (4 * LANES) // BLK_ROWS * BLK_ROWS)
+    kernel = _build(k, rows, copy=copy)
 
+    def step(carry):
+        count, arrays = carry
+        c = jnp.full((1, 128), count, jnp.float32)
+        out = kernel(c, *arrays)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return count + 1.0 + leaf[0, 0] * 1e-30, arrays
 
-def measure(k: int, set_bytes: float, reps: int = 3,
-            k_small: int = 8, k_big: int = 40):
-    """Aggregate GB/s moving `set_bytes` per kernel execution, split over
-    k separate arrays, slope between k_small and k_big chained sets."""
-    rows = int(set_bytes / k / (4 * LANES) // BLK_ROWS * BLK_ROWS)
-    kernel = _run_once(k, rows)
-    run_s = _chained(kernel, k_small)
-    run_b = _chained(kernel, k_big)
-
-    def fresh(rep, n_sets):
+    def make_state(rep: int):
         ks = jax.random.split(jax.random.PRNGKey(rep), k)
-        stacked = tuple(
-            jax.random.normal(kk, (n_sets, rows, LANES), jnp.float32)
-            for kk in ks)
-        jax.block_until_ready(stacked)
-        return stacked
+        return (jnp.float32(rep), tuple(
+            jax.random.normal(kk, (rows, LANES), jnp.float32) for kk in ks))
 
-    float(run_s(fresh(0, k_small)))   # warm compiles
-    float(run_b(fresh(1, k_big)))
-    slopes = []
-    for rep in range(1, reps + 1):
-        a_s = fresh(10 + rep, k_small)
-        t0 = time.perf_counter()
-        float(run_s(a_s))
-        t_s = time.perf_counter() - t0
-        del a_s
-        a_b = fresh(100 + rep, k_big)
-        t0 = time.perf_counter()
-        float(run_b(a_b))
-        t_b = time.perf_counter() - t0
-        del a_b
-        d_bytes = 4.0 * LANES * rows * k * (k_big - k_small)
-        slopes.append(d_bytes / (t_b - t_s) / 1e9)
-    slopes.sort()
-    return slopes[len(slopes) // 2], slopes
+    dt, spread = time_chained(step, make_state, iters=20, reps=reps)
+    mult = 2 if copy else 1
+    return mult * 4.0 * LANES * rows * k / dt / 1e9, spread
 
 
 def main():
-    # per-SET working set; k_big = 40 stacked sets live at once, so keep
-    # the footprint (40x this) well under the 16GB chip
-    total_mb = float(sys.argv[1]) if len(sys.argv) > 1 else 128.0
-    print(f"backend={jax.default_backend()} total={total_mb:.0f} MB",
+    mb = float(sys.argv[1]) if len(sys.argv) > 1 else 512.0
+    print(f"backend={jax.default_backend()} per-buffer {mb:.0f} MB",
           flush=True)
-    for k in (1, 2, 3, 4):
-        med, slopes = measure(k, total_mb * 1e6)
-        print(f"k={k} buffers: {med:7.1f} GB/s aggregate "
-              f"(slopes {[round(s, 1) for s in slopes]})", flush=True)
+    for copy in (False, True):
+        tag = "read+write" if copy else "read-only"
+        for k in (1, 2, 3, 4):
+            gbs, spread = measure(k, mb * 1e6, copy=copy)
+            print(f"k={k} {tag} buffers: {gbs:7.1f} GB/s aggregate "
+                  f"(rel spread {spread['rel_spread']:.1%}, "
+                  f"slopes_us {spread['slopes_us']})", flush=True)
 
 
 if __name__ == "__main__":
