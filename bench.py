@@ -312,10 +312,15 @@ def family_traffic_bytes(family: str, n: int, rank: int = 10) -> float:
       splu : VMEM-resident single launch at bench sizes: state read once
              + written once (4nr tails+corners) + probe/out vectors
              (ops/pallas/splu_one.py)                 -> (4nr + 10n) * 4 B
-      splu_big: beyond the VMEM budget the 3-pass streaming kernel
-             (splu_upd.py) reads the 2 rank-major tails three times +
-             writes once (8nr), and the separate XLA apply re-reads them
-             (2nr), + probe/out vectors            -> (10nr + 12n) * 4 B
+      splu_big: beyond the VMEM budget the 3-pass streaming schedule on
+             the KERNEL-LAYOUT state (splu_upd.py + SpLUStreamState,
+             r5) moves, PHYSICALLY (padded rp sublane rows — what the
+             DMA moves; the r5 attribution showed the old logical
+             10nr+12n model undercounting by 1.6x): stages 1/2 read
+             2rp+4 rows/lane each, stage 3 reads 2rp+4 + writes 2rp+2,
+             and the padded-field XLA apply reads each tail twice
+             (dependent matvecs) + vectors + out = 4rp+7
+             -> (12 rp + 21) rows/lane * 4 B
       dense: gridded fused update+apply: Q read twice (probe pass, update
              sweep) + written once, P'g riding the sweep
              (ops/pallas/dense_big.py)                     -> 3n^2 * 4 B
@@ -326,7 +331,8 @@ def family_traffic_bytes(family: str, n: int, rank: int = 10) -> float:
         "shift": 10 * n,
         "lra": 8 * n * rank + 15 * n,
         "splu": 4 * n * rank + 10 * n,
-        "splu_big": 10 * n * rank + 12 * n,
+        # physical rows/lane on the padded stream state; see docstring
+        "splu_big": (12 * max(8, -(-rank // 8) * 8) + 21) * n,
         "dense": 3 * n * n,
     }[family]
 

@@ -54,12 +54,21 @@ from psgd_tf_tpu.ops.pallas import tri as tri_mod
 from psgd_tf_tpu.ops.pallas.tri import VMEM_LIMIT
 
 # Solve-dot mode for stage AB's substitution products, mirroring
-# kron_sparse_big.SOLVE_MODE. These are (1, BLK)- and (BLK, 1)-shaped
-# MXU products — 1/128 row/lane utilization — so HIGHEST's 6 emulation
-# passes are the kernel's dominant non-traffic cost at large n; bf16x3
-# (tri.dot_bf16x3) halves them at accuracy indistinguishable from
-# HIGHEST (measured r5, table below at the bench rows n=4096/8192/16384,
-# update+apply pair via groups dispatch, oracle = kernels-off XLA path).
+# kron_sparse_big.SOLVE_MODE. REFUTED as a lever here (r5 A/B,
+# update+apply pair via groups dispatch, 2 alternated rounds, medians):
+#
+#     n       highest   bf16x3   default
+#     4096      597       591      592   us/pair
+#     8192     2318      2312     2324
+#    16384     8663      8595     8552
+#
+# — flat within spread at every size, unlike the gridded kron
+# substitutions (12-21% there). Mechanism: stage AB's solve products
+# are (1, BLK)-shaped skinny matvecs whose MXU time, even at 6-pass
+# HIGHEST, hides behind the panel DMA; dense's distance from the 660
+# GB/s mixed stream law is NOT solve-precision compute. HIGHEST stays
+# routed (the stronger guarantee at zero measured cost). Third refuted
+# lever for this kernel (block shape r3/r4, buffer splitting r3).
 SOLVE_MODE = "highest"  # "highest" | "bf16x3" | "default"
 
 

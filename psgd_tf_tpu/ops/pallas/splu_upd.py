@@ -57,18 +57,37 @@ effective (2051 us/pair) is the experimentally-standing operating point:
      and buffers into one launch throttles the pipeline more than the
      per-launch cost it saves.
 
-(Per-stage chained timings once suggested the passes run at 540-1000
-GB/s in isolation; those numbers were inflated by scan-carry VMEM
-residency in the timing harness — the operand being the scan carry lets
-XLA keep it partially resident, the same artifact that makes a 1-buffer
-copy "measure" above HBM spec — and are superseded by the mono-kernel
-A/B, which is the honest end-to-end test of the ramp hypothesis.)
+Honest per-stage attribution (r5, /tmp/r5/splu_stage_attrib.py —
+VERDICT r4 ask #4; replaces the retracted 540-1000 GB/s scan-carry
+figures): each routed pass timed in isolation at nt = 4M with the
+chained-slope harness, the big tails riding the scan carry UNCHANGED
+(576MB working set >> VMEM, so every iteration re-streams HBM) and a
+counter-perturbed small operand defeating hoisting; spreads 0.5-2.3%:
 
-The remaining structure is reference semantics (the step normalizer
-needs max|grad| over the whole tail before any factor rewrite gates
-every pass), and the streaming-regime apply stays a separate XLA chain
-(the g-riding fused variant re-measured 5.5 vs 11.3 Gnnz/s, confirming
-the r2 routing).
+    stage              us/exec   physical GB/s   vs r5 stream law
+    s1 Gram              849        711          read 750
+    s2 maxes             913        661          read 750
+    s3 rewrite+applyGram 1888       631          mixed 660
+    s4 apply tail        779        775          read 750
+    sum                  4430  (= ~1108 us/pair-equivalent at nt=1M)
+
+PHYSICAL bytes = the padded rp=16 sublane rows the DMA actually moves
+(716 B/lane vs the bench model's logical 448 B/lane). Two conclusions:
+(1) the kernels themselves run AT the revised stream laws — there is no
+laggard stage and nothing left in the pass structure; (2) the measured
+~2051 us/pair at n=1M vs the ~1108 us stage sum located ~46% of the
+pair in the XLA GLUE around the kernels — the (r, nt) -> (rp, ntp)
+pad/slice copies on the way in, the [:r, :nt] slice + corner concat on
+the way out, and the property-layout apply chain.
+
+ACTED ON (r5): the streaming regime now stores its state in KERNEL
+LAYOUT (groups/splu.SpLUStreamState — padded corner/tail-split fields)
+and routes through `fused_update_stream` below, so none of those copies
+materialize. Measured n=1M r=10 update+apply pair: 2051 -> 1415 us
+(11.2 -> 16.3 Gnnz/s, +45%; spreads ~1%), within ~300 us of the stage
+sum (corner algebra + O(n) vector pads + the XLA apply's dependent
+tail matvecs account for the remainder). Oracle-checked on hardware
+(hw_smoke splu streaming rel 1.9e-7).
 """
 from __future__ import annotations
 
@@ -616,7 +635,8 @@ def _identity(x):
 
 def _update_impl(L1, U1, dx1, dg1, L2t, U2, l3, u3, dx2, dg2,
                  max_l3, max_u3, step, *, tiny, interpret,
-                 psum=_identity, pmax=_identity, g1=None, g2=None):
+                 psum=_identity, pmax=_identity, g1=None, g2=None,
+                 keep_padded: bool = False):
     """Full update given pre-split corner/tail blocks (tail possibly a
     device-local shard; psum/pmax reduce the Gram and maxes across the
     mesh axis). Returns (newL1, newL2t, newU1, newU2, newl3, newu3) with
@@ -624,7 +644,15 @@ def _update_impl(L1, U1, dx1, dg1, L2t, U2, l3, u3, dx2, dg2,
 
     With (g1, g2), P' g of the UPDATED state is computed in the same
     sweep (the apply Gram rides stage 3, one extra tail map pass) and
-    (pre1, pre2) join the outputs."""
+    (pre1, pre2) join the outputs.
+
+    `keep_padded=True` returns the tail outputs at their FULL padded
+    (rp, ntp)/(1, ntp) kernel shapes instead of slicing back to
+    (r, nt) — the zero-copy contract of the kernel-layout stream state
+    (groups/splu.SpLUStreamState, r5): when the inputs already arrive
+    padded, neither the pads here nor the output slices materialize any
+    copy, which the r5 per-stage attribution showed was ~46% of the
+    update+apply pair."""
     f32 = jnp.float32
     r = U1.shape[0]
     nt = l3.shape[0]
@@ -770,6 +798,8 @@ def _update_impl(L1, U1, dx1, dg1, L2t, U2, l3, u3, dx2, dg2,
             ),
             interpret=interpret,
         )(L2tp, U2p, l3p, u3p, dxp, dgp, coef3, scal3)
+        if keep_padded:
+            return newL1, newL2t, newU1, newU2, newl3[0], newu3[0]
         return (
             newL1, newL2t[:r, :nt], newU1, newU2[:r, :nt],
             newl3[0, :nt], newu3[0, :nt],
@@ -814,10 +844,65 @@ def _update_impl(L1, U1, dx1, dg1, L2t, U2, l3, u3, dx2, dg2,
         interpret=interpret,
     )(newL2t, newU2, newl3, newu3, gp2, coef5)
 
+    if keep_padded:
+        return (newL1, newL2t, newU1, newU2, newl3[0], newu3[0],
+                pre1, pre2[0, :nt])
     return (
         newL1, newL2t[:r, :nt], newU1, newU2[:r, :nt],
         newl3[0, :nt], newu3[0, :nt], pre1, pre2[0, :nt],
     )
+
+
+def fused_update_stream(L1t, U1, L2tp, U2p, l3p, u3p, n: int, v, h, step,
+                        tiny: float, interpret: bool = False, g=None):
+    """Zero-copy streaming update on the KERNEL-LAYOUT state
+    (groups/splu.SpLUStreamState, r5): the (rp, ntp) tails and (ntp,)
+    diagonals are consumed and produced at their stored padded shapes,
+    so the (r, nt) -> (rp, ntp) pad copies and [:r, :nt] slice + concat
+    copies of the legacy entry — measured as ~46% of the update+apply
+    pair by the r5 per-stage attribution (module docstring) — never
+    materialize. Only the O(n) probe vectors are split and lane-padded
+    per call.
+
+    Pad semantics (maintained, not re-established, per call): tail pad
+    ROWS (>= r) and pad LANES (>= nt) of L2tp/U2p are zero; l3p/u3p pad
+    lanes drift by the balance scalars (stage 3 multiplies them like
+    every lane) but their PRODUCT stays 1, keeping w = 1/(l3 u3) finite
+    and every pad contribution exactly zero. The balance maxima mask
+    the pad lanes here.
+
+    Returns (L1t', U1', L2tp', U2p', l3p', u3p'[, pre]) with pre the
+    full-length (n,) preconditioned vector when `g` is given."""
+    r = L1t.shape[0]
+    nt = n - r
+    ntp = l3p.shape[0]
+    f32 = jnp.float32
+
+    def padv(x):
+        if ntp == nt:
+            return x
+        return jnp.zeros((ntp,), f32).at[:nt].set(x)
+
+    dx1, dx2 = v[:r], padv(v[r:])
+    dg1, dg2 = h[:r], padv(h[r:])
+    g1 = g[:r] if g is not None else None
+    g2 = padv(g[r:]) if g is not None else None
+    lanes = jnp.arange(ntp)
+    max_l3 = jnp.max(jnp.where(lanes < nt, l3p, -jnp.inf))
+    max_u3 = jnp.max(jnp.where(lanes < nt, u3p, -jnp.inf))
+    step = jnp.asarray(step, f32)
+
+    out = _update_impl(
+        L1t.T, U1, dx1, dg1, L2tp, U2p, l3p, u3p, dx2, dg2,
+        max_l3, max_u3, step, tiny=tiny, interpret=interpret,
+        g1=g1, g2=g2, keep_padded=True,
+    )
+    newL1, newL2tp, newU1, newU2p, newl3p, newu3p = out[:6]
+    result = (newL1.T, newU1, newL2tp, newU2p, newl3p, newu3p)
+    if g is not None:
+        pre1, pre2 = out[6], out[7]
+        return result + (jnp.concatenate([pre1, pre2[:nt]]),)
+    return result
 
 
 def fused_update(Lt, l3, U12, u3, v, h, step, tiny: float,

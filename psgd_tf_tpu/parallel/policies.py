@@ -82,6 +82,14 @@ def precond_sharding(mesh: Mesh, precond: Any) -> Any:
         )
     if isinstance(precond, splu.SpLUState):
         return splu.SpLUState(Lt=colmat, l3=row, U12=colmat, u3=row)
+    if isinstance(precond, splu.SpLUStreamState):
+        # kernel-layout streaming state (r5): corners replicate, padded
+        # tails shard over lanes exactly like the legacy columns (ntp is
+        # a BLKN multiple, divisible by any power-of-two shard degree)
+        return splu.SpLUStreamState(
+            L1t=rep, U1=rep, L2tp=colmat, U2p=colmat, l3p=row, u3p=row,
+            n=precond.n,
+        )
     if isinstance(precond, lra.LRAState):
         return lra.LRAState(UV=colmat, d=row)
     if isinstance(precond, (list, tuple)):  # kron: replicate every factor
