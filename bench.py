@@ -653,11 +653,12 @@ def main():
     # kron_ns_wide: the wide-lane (norm, scale) path past the 131072
     # resident-lane cap (VERDICT r3 ask #4) — the m stays modest because
     # the m x n probe itself is the HBM limiter (a (1e4, 1e6) probe would
-    # be 40 GB); update = kernel 2mn + XLA row-sweep 2mn, apply 2mn -> 6.
+    # be 40 GB); r5 single-pass wide kernel: update = kernel 2mn + the
+    # corr-gated btdot matvec 1mn, apply 2mn -> 5.
     kron_shapes = {
         "kron_nd": (("norm", "dense"), (131072, 512), None, 10),
         "kron_ns": (("norm", "scale"), (65536, 8192), None, 10),
-        "kron_ns_wide": (("norm", "scale"), (512, 1_000_000), 6, 6),
+        "kron_ns_wide": (("norm", "scale"), (512, 1_000_000), 5, 6),
         "kron_ds": (("dense", "scale"), (512, 131072), None, 10),
     }
     for name, (fmt, shape, passes, iters) in kron_shapes.items():

@@ -445,13 +445,39 @@ def route(fmt: tuple[Format, Format], shape: tuple[int, int]) -> str:
     return "xla"
 
 
+def _apply_ns_dispatch(ql, qr, G):
+    """(norm, scale) apply routing: the WIDE-lane regime (past the 1-D
+    kernel's resident cap) routes to the single-pass pallas apply —
+    measured r5 at (512, 1e6): the XLA chain's preG intermediate has two
+    consumers, so XLA materializes (m, n) temporaries and the apply ran
+    15.4 ms vs the kernel's 2mn minimum. Resident-lane sizes KEEP the
+    XLA chain (r3: the 1-D apply kernel measured slower there)."""
+    from psgd_tf_tpu.ops import pallas as pallas_ops
+    from psgd_tf_tpu.ops.pallas import kron_sparse_big
+
+    np128 = -(-G.shape[1] // 128) * 128
+    if (
+        pallas_ops.kernels_active()
+        and jnp.result_type(ql) == jnp.float32
+        and kron_sparse_big.MAX_LANES
+        < np128
+        <= kron_sparse_big.WIDE2_MAX_LANES
+    ):
+        return pallas_ops.replicated_call(
+            lambda *a: kron_sparse_big.fused_apply_ns_wide(
+                *a, interpret=pallas_ops.interpret_default()
+            ),
+            ql, qr, G,
+        )
+    return _apply_ns(ql, qr, G)
+
+
 def apply(state: KronState, G: jax.Array) -> jax.Array:
-    # The arrow-left applies stay XLA at EVERY size: a single-pass pallas
-    # apply exists (kron_sparse_big.fused_apply_{nd,ns}) but measured
-    # SLOWER than this chain at the reference-envelope shapes (2401 vs
-    # 1984 us nd, 16150 vs 15726 us ns) — its lone streamed operand pins
-    # it to the ~226 GB/s per-buffer DMA cap while XLA's chain runs
-    # multiple buffers concurrently. See the kernel docstring.
+    # The arrow-left applies stay XLA at RESIDENT-lane sizes: a
+    # single-pass pallas apply exists (kron_sparse_big.fused_apply_*)
+    # but measured SLOWER than the XLA chain there (2401 vs 1984 us nd,
+    # 16150 vs 15726 us ns, r3). The WIDE (norm, scale) regime routes to
+    # the pad-free wide apply kernel since r5 (see _apply_ns_dispatch).
     ql, qr, fmt = state.ql, state.qr, state.fmt
     if fmt == ("dense", "dense"):
         return _apply_dd(ql, qr, G)
@@ -464,9 +490,9 @@ def apply(state: KronState, G: jax.Array) -> jax.Array:
     if fmt == ("scale", "dense"):       # ref :144
         return _apply_ds(qr, ql, G.T).T
     if fmt == ("norm", "scale"):
-        return _apply_ns(ql, qr, G)
+        return _apply_ns_dispatch(ql, qr, G)
     if fmt == ("scale", "norm"):        # ref :146
-        return _apply_ns(qr, ql, G.T).T
+        return _apply_ns_dispatch(qr, ql, G.T).T
     raise ValueError(f"unsupported Kronecker format pair: {fmt}")
 
 

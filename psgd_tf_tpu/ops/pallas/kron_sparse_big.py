@@ -62,6 +62,13 @@ MAX_LANES = 131072    # padded minor-axis cap for the 1-D-grid ns kernel:
                       # stay ~0.5MB each in VMEM; the row-panel grid still
                       # streams the O(mn) probes
 LANE_BLK = 32768      # lane-panel width of the WIDE ns path's 2-D grid
+WIDE2_MAX_LANES = 2 << 20  # cap for the single-pass wide kernel
+                      # (_kernel_ns_wide2): it keeps 2 full-width (1, np)
+                      # accumulator outputs + 3 lane rows VMEM-resident
+                      # (~8MB + 12MB re-fetched at 2M lanes) next to the
+                      # 32MB of double-buffered probe blocks; wider scale
+                      # sides fall back to the XLA-sweep wide path
+WIDE2_BLK = 64        # row-panel height of the single-pass wide kernel
 MAX_LANES_NS = 1 << 23  # wide-path sanity cap: nothing lane-sized is
                       # VMEM-resident, so the scale side reaches the
                       # reference's [1e6, 1e6] guidance (ref README.md:54);
@@ -180,6 +187,71 @@ def _kernel_ns_big(dx_ref, dg_ref, ql0_ref, ql1_ref, w_ref, qr_ref,
 
     corr_ref[:] += jnp.sum(w_ref[:] * dx, axis=0, keepdims=True)
     colsum_ref[:] += jnp.sum(d2, axis=0, keepdims=True)
+
+
+def _kernel_ns_wide2(dx_ref, dg_ref, ql0_ref, ql1_ref, w_ref, qr_ref,
+                     dgl_ref, al_ref,
+                     diag_ref, biasa_ref, corr_ref, colsum_ref,
+                     *, m, n, blk, lblk):
+    """ALL FOUR (norm, scale) update accumulators in ONE 2mn pass for
+    wide scale sides — the r5 successor to the XLA-sweep wide path.
+
+    Grid: row panels OUTER (i), lane panels INNER (j). The row-space
+    outputs (diag, biasa) are (blk, 1) blocks of (mp, 1) arrays mapped
+    to i — legal (minor block dim equals the whole array dim, unlike
+    the (blk, 1)-over-(mp, nj) layout that failed on hardware r4) and
+    revisited CONSECUTIVELY across the inner lane sweep. The lane-space
+    accumulators (corr, colsum) are FULL-WIDTH (1, np) outputs mapped
+    to a constant block — VMEM-resident for the whole launch (4 MB per
+    1M lanes; the route caps at WIDE2_MAX_LANES to respect the scoped
+    budget), written back once. This removes the old wide path's
+    separate XLA sweep over (dX, dG), whose multiple consumers forced
+    XLA to MATERIALIZE (m, n) temporaries.
+
+    PAD-FREE (measured r5: `_pad_cols` on a (512, 1e6) probe pair is a
+    full 8 GB of copy traffic per update — n is essentially never a
+    lane-block multiple): the probes arrive UNPADDED; ragged edge blocks
+    are masked in-kernel (invalid rows/lanes forced to inert values
+    BEFORE any division so no NaN can form), with Mosaic materializing
+    partial edge tiles for free (CLAUDE.md layout rule)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    rows = i * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+    lanes = j * lblk + jax.lax.broadcasted_iota(jnp.int32, (1, lblk), 1)
+    rowv = rows < m
+    lanev = lanes < n
+    valid = rowv & lanev
+    maskv = valid & (rows != m - 1)  # arrow row patched in XLA post
+    ql0 = jnp.where(rowv, ql0_ref[:], 1.0)
+    qr = jnp.where(lanev, qr_ref[:], 1.0)
+    dx = jnp.where(valid, dx_ref[:], 0.0)
+    dxm = jnp.where(maskv, dx_ref[:], 0.0)
+    dgm = jnp.where(maskv, dg_ref[:], 0.0)
+    ql1 = jnp.where(rowv, ql1_ref[:], 0.0)
+    w = jnp.where(rowv, w_ref[:], 0.0)
+    dgl = jnp.where(lanev, dgl_ref[:], 0.0)
+    al = jnp.where(lanev, al_ref[:], 0.0)
+    a = (ql0 * dgm + ql1 * dgl) * qr
+    a = jnp.where(maskv, a, 0.0)
+    bt = dxm / ql0 / qr
+    d2 = a * a - bt * bt
+
+    @pl.when(j == 0)
+    def _():  # fresh row panel: reset its row-space accumulators
+        diag_ref[:] = jnp.zeros_like(diag_ref)
+        biasa_ref[:] = jnp.zeros_like(biasa_ref)
+
+    diag_ref[:] += jnp.sum(d2, axis=1, keepdims=True)
+    biasa_ref[:] += jnp.sum(a * al, axis=1, keepdims=True)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        corr_ref[:] = jnp.zeros_like(corr_ref)
+        colsum_ref[:] = jnp.zeros_like(colsum_ref)
+
+    lane = pl.dslice(j * lblk, lblk)
+    corr_ref[0, lane] += jnp.sum(w * dx, axis=0)
+    colsum_ref[0, lane] += jnp.sum(d2, axis=0)
 
 
 def _kernel_ns_wide(dx_ref, dg_ref, ql0_ref, ql1_ref, w_ref, qr_ref,
@@ -362,10 +434,93 @@ def fused_update_ns(ql, qr, dX, dG, step, tiny: float,
 
 def _fused_update_ns_wide(ql, qr, dX, dG, step, tiny: float,
                           interpret: bool = False):
-    """(norm, scale) update for scale sides past MAX_LANES (the reference's
-    [1e6, 1e6] regime, README.md:54). The 2-D-grid kernel streams (dX, dG)
-    once for the lane-space accumulators; the row-space reductions ride
-    the XLA sweep that corr gates anyway (see _kernel_ns_wide)."""
+    """(norm, scale) update for scale sides past MAX_LANES (the
+    reference's [1e6, 1e6] regime, README.md:54). Dispatch: the
+    single-pass wide kernel (_kernel_ns_wide2 — all four accumulators in
+    one 2mn sweep, lane accumulators VMEM-resident) up to
+    WIDE2_MAX_LANES; beyond that the r4 XLA-sweep path."""
+    np128 = _cdiv(dX.shape[1], 128) * 128
+    if np128 <= WIDE2_MAX_LANES:
+        return _fused_update_ns_wide2(ql, qr, dX, dG, step, tiny, interpret)
+    return _fused_update_ns_wide_xla(ql, qr, dX, dG, step, tiny, interpret)
+
+
+def _fused_update_ns_wide2(ql, qr, dX, dG, step, tiny: float,
+                           interpret: bool = False):
+    """Single-pass wide (norm, scale) update (see _kernel_ns_wide2).
+    Only the bias term's dX matvec (gated by corr) and the O(m + n)
+    factor rewrites remain in XLA — total schedule 3mn like the
+    resident-lane 1-D path, vs the XLA-sweep wide path's 4mn-plus-
+    materialized-temporaries. The probes are passed UNPADDED (edge
+    blocks masked in-kernel): lane-padding a (512, 1e6) probe pair was
+    8 GB of pure copy traffic per update."""
+    f32 = jnp.float32
+    m, n = dX.shape
+    lblk = min(_cdiv(n, 128) * 128, LANE_BLK)
+    np_ = _cdiv(n, lblk) * lblk
+    blk = WIDE2_BLK
+    mp = _cdiv(m, blk) * blk
+    step = jnp.asarray(step, f32)
+
+    # balance (ref :341-346)
+    rho = jnp.sqrt(jnp.max(ql[0]) / jnp.max(qr))
+    ql = ql / rho
+    qr_b = rho * qr
+    ql0, ql1 = ql[0], ql[1]
+
+    dX_last, dG_last = dX[-1], dG[-1]
+    A_last = ql0[-1] * dG_last * qr_b                     # (n,)
+    w = ql1 / (ql0 * ql0[-1])                             # w[-1] = 0
+
+    rowspec = pl.BlockSpec((blk, lblk), lambda i, j: (i, j),
+                           memory_space=pltpu.VMEM)
+    vecspec = pl.BlockSpec((blk, 1), lambda i, j: (i, 0),
+                           memory_space=pltpu.VMEM)
+    lanespec = pl.BlockSpec((1, lblk), lambda i, j: (0, j),
+                            memory_space=pltpu.VMEM)
+    outvec = pl.BlockSpec((blk, 1), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    fullrow = pl.BlockSpec((1, np_), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    diag0, biasa, corr, colsum = pl.pallas_call(
+        functools.partial(_kernel_ns_wide2, m=m, n=n, blk=blk, lblk=lblk),
+        grid=(_cdiv(m, blk), _cdiv(n, lblk)),
+        in_specs=[rowspec, rowspec, vecspec, vecspec, vecspec,
+                  lanespec, lanespec, lanespec],
+        out_specs=(outvec, outvec, fullrow, fullrow),
+        out_shape=(
+            jax.ShapeDtypeStruct((mp, 1), f32),
+            jax.ShapeDtypeStruct((mp, 1), f32),
+            jax.ShapeDtypeStruct((1, np_), f32),
+            jax.ShapeDtypeStruct((1, np_), f32),
+        ),
+        interpret=interpret,
+        compiler_params=_params(),
+    )(
+        dX, dG,
+        ql0[:, None], ql1[:, None], w[:, None],
+        qr_b[None, :], dG_last[None, :], A_last[None, :],
+    )
+
+    corr = corr[0, :n]
+    B_last = (dX_last / ql0[-1] - corr) / qr_b
+    diag = diag0[:m, 0].at[m - 1].set(jnp.sum(A_last**2 - B_last**2))
+    btdot = (dX @ (B_last / qr_b)) / ql0                  # the second dX pass
+    bias = (biasa[:m, 0] - btdot).at[m - 1].set(0.0)
+    grad2 = colsum[0, :n] + A_last**2 - B_last**2
+    return _norm_post(ql0, ql1, diag, bias, jnp.max(jnp.abs(grad2)),
+                      step, tiny, True, qr_b, grad2)
+
+
+def _fused_update_ns_wide_xla(ql, qr, dX, dG, step, tiny: float,
+                              interpret: bool = False):
+    """The r4 XLA-sweep wide path — retained for scale sides past
+    WIDE2_MAX_LANES (where the single-pass kernel's resident lane
+    accumulators no longer fit the scoped-VMEM budget). The 2-D-grid
+    kernel streams (dX, dG) once for the lane-space accumulators; the
+    row-space reductions ride the XLA sweep that corr gates anyway
+    (see _kernel_ns_wide)."""
     f32 = jnp.float32
     m, n = dX.shape
     lblk = min(_cdiv(n, 128) * 128, LANE_BLK)
@@ -685,6 +840,75 @@ def _apply_norm_call(ql, r, G, dense_r, interpret):
 def fused_apply_ns(ql, qr, G, interpret: bool = False):
     """(norm, scale) P g in one streamed pass; ql: (2, m), qr: (n,)."""
     return _apply_norm_call(ql, qr * qr, G, False, interpret)
+
+
+def _kernel_apply_ns_wide(g_ref, ql0_ref, ql1_ref, gl_ref, r_ref, out_ref,
+                          acc_ref, *, m, blk, lblk):
+    """Wide-lane (norm, scale) apply: 2-D grid (rows OUTER, lanes inner),
+    same one-pass trick as _kernel_apply_norm — the Ql^T correction lands
+    only on row m-1, which lives in the FINAL row panel, visited after
+    every other panel has pushed its ql1^T z contribution into the
+    resident (1, np) accumulator. 2mn traffic.
+
+    ROUTED for the wide regime (r5): at (512, 1e6) the XLA apply chain
+    measured 15.4 ms — its preG intermediate has two consumers
+    (_norm_t_matmul reads it elementwise AND row-reduced), so XLA
+    materializes ~(m, n) temporaries; this kernel runs the 2mn minimum.
+    (The RESIDENT-lane regimes keep the XLA chain: r3 measured the 1-D
+    apply kernel slower there, where XLA's working set fits its fusion
+    budget.)"""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    rows = i * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+    rowv = rows < m
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    ql1 = jnp.where(rowv, ql1_ref[:], 0.0)
+    g = jnp.where(rowv, g_ref[:], 0.0)
+    preg = ql0_ref[:] * g + ql1 * gl_ref[:]
+    z = preg * r_ref[:]
+    lane = pl.dslice(j * lblk, lblk)
+    acc_ref[0, lane] += jnp.sum(ql1 * z, axis=0)
+    out_ref[:] = ql0_ref[:] * z + jnp.where(
+        rows == m - 1, acc_ref[0, lane][None, :], 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_apply_ns_wide(ql, qr, G, interpret: bool = False):
+    """Wide-lane (norm, scale) P g (see _kernel_apply_ns_wide). G and
+    the (m, n) output are UNPADDED (pad-free contract: lane-padding a
+    2 GB probe is 8 GB of copy traffic); ragged edge blocks mask rows
+    in-kernel — invalid LANES only ever produce values that the partial
+    output tiles never store, and no division touches them."""
+    f32 = jnp.float32
+    m, n = G.shape
+    lblk = min(_cdiv(n, 128) * 128, LANE_BLK)
+    np_ = _cdiv(n, lblk) * lblk
+    blk = WIDE2_BLK
+
+    rowspec = pl.BlockSpec((blk, lblk), lambda i, j: (i, j),
+                           memory_space=pltpu.VMEM)
+    vecspec = pl.BlockSpec((blk, 1), lambda i, j: (i, 0),
+                           memory_space=pltpu.VMEM)
+    lanespec = pl.BlockSpec((1, lblk), lambda i, j: (0, j),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_kernel_apply_ns_wide, m=m, blk=blk, lblk=lblk),
+        grid=(_cdiv(m, blk), _cdiv(n, lblk)),
+        in_specs=[rowspec, vecspec, vecspec, lanespec, lanespec],
+        out_specs=rowspec,
+        out_shape=jax.ShapeDtypeStruct((m, n), f32),
+        scratch_shapes=[pltpu.VMEM((1, np_), f32)],
+        interpret=interpret,
+        compiler_params=_params(),
+    )(
+        G, ql[0][:, None], ql[1][:, None],
+        G[-1][None, :], (qr * qr)[None, :],
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

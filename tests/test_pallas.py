@@ -585,6 +585,31 @@ def test_wide_ns_routed_through_group_dispatch(monkeypatch):
     assert calls == [(16, 140000), (16, 140000)]  # mirror transposes in
 
 
+def test_wide_ns_xla_fallback_beyond_wide2_cap(monkeypatch):
+    """Scale sides past WIDE2_MAX_LANES must ride the retained XLA-sweep
+    wide path and still match the oracle (the single-pass kernel's
+    resident accumulators exceed scoped VMEM there)."""
+    import psgd_tf_tpu.ops.pallas.kron_sparse_big as ksb
+    from psgd_tf_tpu.ops import pallas as pallas_ops
+
+    monkeypatch.setattr(ksb, "WIDE2_MAX_LANES", 1 << 15)  # force fallback
+    ksb.fused_update_ns.clear_cache()
+    key = jax.random.PRNGKey(5)
+    shape = (16, 140000)
+    st = kron.init(shape, fmt=("norm", "scale"), init_scale=0.8)
+    dX = jax.random.normal(jax.random.fold_in(key, 1), shape)
+    dG = jax.random.normal(jax.random.fold_in(key, 2), shape)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("shard",))
+    with pallas_ops.sharding(mesh):
+        st2 = kron.update(st, dX, dG, step=0.05)
+    ref = kron.update(st, dX, dG, step=0.05)  # XLA path
+    for a, b in zip(jax.tree_util.tree_leaves(st2),
+                    jax.tree_util.tree_leaves(ref), strict=True):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-6)
+    ksb.fused_update_ns.clear_cache()
+
+
 @pytest.mark.parametrize("mode", ["bf16x3", "default"])
 def test_nd_solve_mode_variants(monkeypatch, mode):
     """The manual bf16x3 (HIGH-equivalent) and default solve-dot modes

@@ -127,6 +127,9 @@ def check_kron():
         # takes over beyond MAX_LANES)
         ("norm", "scale", "cap1d"): (512, 131072),
         ("norm", "scale", "wide"): (128, 1_000_000),
+        # past WIDE2_MAX_LANES: the retained XLA-sweep wide path (the
+        # single-pass kernel's resident accumulators exceed scoped VMEM)
+        ("norm", "scale", "wide_xla"): (48, 3_000_000),
         ("dense", "scale"): (512, 131072),
         ("dense", "dense"): (kron_dd.MAX_SIDE, kron_dd.MAX_SIDE),
         # the NMT workload at the reference's REAL dimensions (embed 256,
