@@ -264,18 +264,20 @@ def family_mxu_flops(family: str, n: int, rank: int = 10) -> float:
 
 
 # Modeled bf16-equivalent MXU flops per kron update+apply pair at probe
-# (m, n) — same 6x-for-HIGHEST accounting as family_mxu_flops:
-#   nd : A (2mn^2) + block substitution @HIGHEST (2mn^2 -> 12) + two Grams
-#        (4mn^2) + XLA apply chain (4mn^2)            -> 22 m n^2
-#   ds : mirror of nd on the m side                   -> 22 m^2 n
+# (m, n) — same pass accounting as family_mxu_flops, with the block
+# substitution at its ROUTED bf16x3 mode (3 MXU passes, r5; HIGHEST
+# would be 6):
+#   nd : A (2mn^2) + substitution @bf16x3 (2mn^2 -> 6) + two Grams
+#        (4mn^2) + XLA apply chain (4mn^2)            -> 16 m n^2
+#   ds : mirror of nd on the m side                   -> 16 m^2 n
 #   ns / ns_wide : diagonal right factor — only the bias matvec, the
 #        btdot matvec and the apply's elementwise chain touch reductions;
 #        ~8 m n nominal, effectively VPU-class        -> 8 m n
 KRON_MXU_FLOPS = {
-    "kron_nd": lambda m, n: 22.0 * m * float(n) * n,
+    "kron_nd": lambda m, n: 16.0 * m * float(n) * n,
     "kron_ns": lambda m, n: 8.0 * float(m) * n,
     "kron_ns_wide": lambda m, n: 8.0 * float(m) * n,
-    "kron_ds": lambda m, n: 22.0 * float(m) * m * n,
+    "kron_ds": lambda m, n: 16.0 * float(m) * m * n,
 }
 
 
