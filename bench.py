@@ -425,7 +425,17 @@ def bench_kron_sparse_gelem_per_sec(
         st, dX, dG = carry
         st = kron.update(st, dX, dG, step=1e-4)
         out = kron.apply(st, dG)
-        return st, dX + 1e-30 * out, dG
+        # thread the apply result as the NEXT Hvp probe: a full data
+        # dependency (so neither op is dead code) with ZERO extra
+        # traffic. The previous `dX + 1e-30 * out` threading
+        # MATERIALIZED a fresh copy of dX every iteration — +3x probe
+        # bytes (+6 GB/iter at the wide shapes, ~9 ms of a 24.7 ms
+        # measurement) — quietly inflating every kron row in r3/r4/r5
+        # artifacts (measured r5, /tmp/r5/ns_apply_ab.py postmortem).
+        # Values: P ~ (0.9)^4 I per apply, so dG decays ~0.66x/iter;
+        # chain lengths here stay far from the ~1e-38 flush point, and
+        # the op count is value-independent.
+        return st, dX, out
 
     dt, spread = time_chained(step, make_state, iters=iters, reps=3)
     elems = float(m) * float(n)

@@ -446,38 +446,24 @@ def route(fmt: tuple[Format, Format], shape: tuple[int, int]) -> str:
 
 
 def _apply_ns_dispatch(ql, qr, G):
-    """(norm, scale) apply routing: the WIDE-lane regime (past the 1-D
-    kernel's resident cap) routes to the single-pass pallas apply —
-    measured r5 at (512, 1e6): the XLA chain's preG intermediate has two
-    consumers, so XLA materializes (m, n) temporaries and the apply ran
-    15.4 ms vs the kernel's 2mn minimum. Resident-lane sizes KEEP the
-    XLA chain (r3: the 1-D apply kernel measured slower there)."""
-    from psgd_tf_tpu.ops import pallas as pallas_ops
-    from psgd_tf_tpu.ops.pallas import kron_sparse_big
-
-    np128 = -(-G.shape[1] // 128) * 128
-    if (
-        pallas_ops.kernels_active()
-        and jnp.result_type(ql) == jnp.float32
-        and kron_sparse_big.MAX_LANES
-        < np128
-        <= kron_sparse_big.WIDE2_MAX_LANES
-    ):
-        return pallas_ops.replicated_call(
-            lambda *a: kron_sparse_big.fused_apply_ns_wide(
-                *a, interpret=pallas_ops.interpret_default()
-            ),
-            ql, qr, G,
-        )
+    """(norm, scale) apply: the XLA chain at EVERY size. The r5 pad-free
+    wide apply kernel (kron_sparse_big.fused_apply_ns_wide) was briefly
+    routed for the wide regime on a measurement later traced to a
+    timing-harness artifact (the carry threading materialized a probe
+    copy per iteration — bench.py); the corrected A/B has the XLA chain
+    AT the mixed stream law everywhere and the kernel slower at the
+    shapes tried — (65536, 8192): 15.9 vs 16.1 ms; (512, 131072): tie;
+    (131072, 512): 2.0 vs 2.8 ms; (512, 1e6) pair: 15.9 (XLA) vs 22.3
+    (kernel). The kernel stays as a tested, unrouted variant like its
+    1-D siblings."""
     return _apply_ns(ql, qr, G)
 
 
 def apply(state: KronState, G: jax.Array) -> jax.Array:
-    # The arrow-left applies stay XLA at RESIDENT-lane sizes: a
-    # single-pass pallas apply exists (kron_sparse_big.fused_apply_*)
-    # but measured SLOWER than the XLA chain there (2401 vs 1984 us nd,
-    # 16150 vs 15726 us ns, r3). The WIDE (norm, scale) regime routes to
-    # the pad-free wide apply kernel since r5 (see _apply_ns_dispatch).
+    # The arrow-left applies stay XLA at EVERY size: single-pass pallas
+    # applies exist (kron_sparse_big.fused_apply_*) but the corrected r5
+    # A/Bs have the XLA chain at the mixed stream law at every measured
+    # shape (see _apply_ns_dispatch).
     ql, qr, fmt = state.ql, state.qr, state.fmt
     if fmt == ("dense", "dense"):
         return _apply_dd(ql, qr, G)

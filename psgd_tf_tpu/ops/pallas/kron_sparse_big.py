@@ -111,6 +111,11 @@ def _params():
 #     bf16x3             3007     357        4.32e-5   <- routed
 #     default            2542     422        (qr 1.61e-5, 245x worse)
 #
+# (Absolute us/pair above carry the pre-correction harness's constant
+# +3x-probe-copy overhead — bench.py r5 note; all arms share it, so the
+# relative ordering and the routing decision stand. Corrected-harness
+# row values live in BENCH_r05.)
+#
 # bf16x3 is ROUTED (r5): its accuracy is indistinguishable from HIGHEST
 # at every measured shape — the substitution's error is dominated by
 # operand rounding, which the hi/lo split captures exactly — while it
@@ -205,8 +210,11 @@ def _kernel_ns_wide2(dx_ref, dg_ref, ql0_ref, ql1_ref, w_ref, qr_ref,
     to a constant block — VMEM-resident for the whole launch (4 MB per
     1M lanes; the route caps at WIDE2_MAX_LANES to respect the scoped
     budget), written back once. This removes the old wide path's
-    separate XLA sweep over (dX, dG), whose multiple consumers forced
-    XLA to MATERIALIZE (m, n) temporaries.
+    separate XLA sweep over (dX, dG) (multi-consumer (m, n)
+    intermediates XLA materializes). Together with the pad-free
+    contract below, the harness-corrected (512, 1e6) update+apply pair
+    went 32.4 -> 15.9 ms (2.0x), with BOTH halves at the ~660 GB/s
+    mixed law.
 
     PAD-FREE (measured r5: `_pad_cols` on a (512, 1e6) probe pair is a
     full 8 GB of copy traffic per update — n is essentially never a
@@ -850,13 +858,14 @@ def _kernel_apply_ns_wide(g_ref, ql0_ref, ql1_ref, gl_ref, r_ref, out_ref,
     every other panel has pushed its ql1^T z contribution into the
     resident (1, np) accumulator. 2mn traffic.
 
-    ROUTED for the wide regime (r5): at (512, 1e6) the XLA apply chain
-    measured 15.4 ms — its preG intermediate has two consumers
-    (_norm_t_matmul reads it elementwise AND row-reduced), so XLA
-    materializes ~(m, n) temporaries; this kernel runs the 2mn minimum.
-    (The RESIDENT-lane regimes keep the XLA chain: r3 measured the 1-D
-    apply kernel slower there, where XLA's working set fits its fusion
-    budget.)"""
+    NOT ROUTED (r5): briefly routed on a 15.4 ms XLA-apply measurement
+    that turned out to be a timing-harness artifact (the carry threading
+    `dX + 1e-30*out` materialized a full probe copy per iteration,
+    +6 GB/iter — bench.py r5 correction). The corrected A/B has the XLA
+    apply chain AT the ~660 GB/s mixed law at every measured shape and
+    this kernel slower — (512, 1e6) pair: 15.9 ms (XLA) vs 22.3
+    (kernel); (131072, 512): 2.0 vs 2.8 ms; ties elsewhere. Kept as a
+    tested oracle-parity kernel like the 1-D fused applies above."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     rows = i * blk + jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
