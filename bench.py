@@ -639,10 +639,13 @@ def main():
                     sol = (f"  traffic {gbs:6.0f} GB/s = {frac:5.1%} of "
                            f"HBM bound (XLA path, {el_bytes}B state)")
                 elif frac > 1:
-                    # above the HBM bound = VMEM-resident working set; an
-                    # HBM stream ceiling is meaningless there
+                    # above the HBM bound: VMEM-resident working set, or
+                    # a multi-pass schedule re-touching just-written
+                    # arrays (hot-page reuse beats the cold-stream laws
+                    # — the aliased splu_big schedule measures ~135% of
+                    # the mixed law on its physical byte model, r5)
                     sol = (f"  traffic {gbs:6.0f} GB/s = {frac:5.1%} of "
-                           "HBM bound (VMEM-resident)")
+                           "HBM bound (VMEM-resident / hot-page reuse)")
                     sol += _roofline(results, rowname, dt, gbs, 0.0,
                                      flops, mxu_peak)
                 else:

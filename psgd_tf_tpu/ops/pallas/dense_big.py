@@ -305,6 +305,14 @@ def _stages(q, v, h, step, tiny, interpret, g=None):
     rev_blk = pl.BlockSpec(
         (blk, 1), lambda i: (nb - 1 - i, 0), memory_space=pltpu.VMEM
     )
+    # Q -> Q' IN PLACE (input_output_aliases): without it, XLA cannot
+    # alias the kernel's newq output into a training loop's scan carry
+    # and inserts a full Q copy EVERY step — measured r5 at n=16384 as
+    # +3.27 ms/step (stage C alone: 3267 us with a loop-invariant Q vs
+    # 6534 us with Q fed back as the carry; the 2 GB read+write at the
+    # 660 GB/s mixed law is exactly the difference). With the alias the
+    # body is a true in-place rewrite; each panel is read before its
+    # rewrite within the same grid step, so aliasing is safe.
     if g is None:
         newq = pl.pallas_call(
             functools.partial(_update_kernel, nb=nb),
@@ -314,6 +322,7 @@ def _stages(q, v, h, step, tiny, interpret, g=None):
             out_specs=rev_panel,
             out_shape=jax.ShapeDtypeStruct((np_, np_), f32),
             scratch_shapes=[pltpu.VMEM((1, np_), f32), pltpu.VMEM((1, np_), f32)],
+            input_output_aliases={0: 0},
             interpret=interpret,
             compiler_params=_params(),
         )(qp, acol, bcol, step0)
@@ -331,6 +340,7 @@ def _stages(q, v, h, step, tiny, interpret, g=None):
             jax.ShapeDtypeStruct((1, np_), f32),
         ),
         scratch_shapes=[pltpu.VMEM((1, np_), f32), pltpu.VMEM((1, np_), f32)],
+        input_output_aliases={0: 0},
         interpret=interpret,
         compiler_params=_params(),
     )(qp, acol, bcol, grow, step0)

@@ -396,6 +396,10 @@ def _update_impl(UV, d, v, h, step, key, tiny: float, interpret: bool,
                 jax.ShapeDtypeStruct((r2, np_), f32),
                 jax.ShapeDtypeStruct((1, np_), f32),
             ),
+            # UV -> UV' in place: without the alias XLA copies the new
+            # factors into the training loop's scan carry every step
+            # (the dense_big r5 finding; here 2 x 80MB at n=1M)
+            input_output_aliases={0: 0},
             interpret=interpret,
         )(UVp, dp, hp, vp, coef2, coef3, scal3)
 
@@ -420,6 +424,7 @@ def _update_impl(UV, d, v, h, step, key, tiny: float, interpret: bool,
             jax.ShapeDtypeStruct((1, np_), f32),
             jax.ShapeDtypeStruct((z2dim, z2dim), f32),
         ),
+        input_output_aliases={0: 0},  # UV -> UV' in place (see above)
         interpret=interpret,
     )(UVp, dp, hp, vp, gp, coef2, coef3, scal3)
     gram2 = psum(gram2)

@@ -796,6 +796,10 @@ def _update_impl(L1, U1, dx1, dg1, L2t, U2, l3, u3, dx2, dg2,
                 jax.ShapeDtypeStruct((1, ntp), f32),
                 jax.ShapeDtypeStruct((1, ntp), f32),
             ),
+            # tails/diagonals rewritten IN PLACE: without the aliases
+            # XLA copies all four new arrays into the training loop's
+            # scan carry every step (the dense_big r5 finding)
+            input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
             interpret=interpret,
         )(L2tp, U2p, l3p, u3p, dxp, dgp, coef3, scal3)
         if keep_padded:
@@ -820,6 +824,7 @@ def _update_impl(L1, U1, dx1, dg1, L2t, U2, l3, u3, dx2, dg2,
             jax.ShapeDtypeStruct((1, ntp), f32),
             jax.ShapeDtypeStruct((z2dim, z2dim), f32),
         ),
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},  # in place (above)
         interpret=interpret,
     )(L2tp, U2p, l3p, u3p, dxp, dgp, gp2, coef3, scal3)
     gram2 = psum(gram2)

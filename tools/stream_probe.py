@@ -68,6 +68,18 @@ def _kernel_copy(*refs, k):
         o[:] = r[:] + c
 
 
+def _kernel_inplace(*refs, k):
+    """k buffers rewritten IN PLACE (input_output_aliases): the
+    operating point of the r5 aliased state-rewrite kernels. Writes land
+    on the DRAM rows just read, so this can exceed the out-of-place
+    read+write law."""
+    c_ref, ins = refs[0], refs[1:k + 1]
+    outs = refs[k + 1:]
+    c = c_ref[0, 0] * 1e-20
+    for r, o in zip(ins, outs):
+        o[:] = r[:] + c
+
+
 def _build(k: int, rows: int, copy: bool = False):
     spec = pl.BlockSpec((BLK_ROWS, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -77,17 +89,21 @@ def _build(k: int, rows: int, copy: bool = False):
         out_shape = tuple(
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
             for _ in range(k))
-        kern = functools.partial(_kernel_copy, k=k)
+        kern = functools.partial(
+            _kernel_inplace if copy == "inplace" else _kernel_copy, k=k)
+        aliases = {i + 1: i for i in range(k)} if copy == "inplace" else {}
     else:
         out_specs = crow
         out_shape = jax.ShapeDtypeStruct((1, 128), jnp.float32)
         kern = functools.partial(_kernel, k=k)
+        aliases = {}
     return pl.pallas_call(
         kern,
         grid=(rows // BLK_ROWS,),
         in_specs=[crow] + [spec] * k,
         out_specs=out_specs,
         out_shape=out_shape,
+        input_output_aliases=aliases,
         # k double-buffered 4MB blocks exceed the 16MB default scoped
         # limit at k >= 2 (measured: k=2 overran by 1KB)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
@@ -104,6 +120,9 @@ def measure(k: int, buf_bytes: float, copy: bool = False, reps: int = 5):
         count, arrays = carry
         c = jnp.full((1, 128), count, jnp.float32)
         out = kernel(c, *arrays)
+        if copy == "inplace":
+            # the outputs ARE the (donated) carried buffers now
+            return count + 1.0 + out[0][0, 0] * 1e-30, tuple(out)
         leaf = jax.tree_util.tree_leaves(out)[0]
         return count + 1.0 + leaf[0, 0] * 1e-30, arrays
 
@@ -121,11 +140,14 @@ def main():
     mb = float(sys.argv[1]) if len(sys.argv) > 1 else 512.0
     print(f"backend={jax.default_backend()} per-buffer {mb:.0f} MB",
           flush=True)
-    for copy in (False, True):
-        tag = "read+write" if copy else "read-only"
+    arms = sys.argv[2].split(",") if len(sys.argv) > 2 else [
+        "read", "copy", "inplace"]
+    modes = {"read": False, "copy": True, "inplace": "inplace"}
+    for tag in arms:
+        copy = modes[tag]
         for k in (1, 2, 3, 4):
             gbs, spread = measure(k, mb * 1e6, copy=copy)
-            print(f"k={k} {tag} buffers: {gbs:7.1f} GB/s aggregate "
+            print(f"k={k} {tag:8s} buffers: {gbs:7.1f} GB/s aggregate "
                   f"(rel spread {spread['rel_spread']:.1%}, "
                   f"slopes_us {spread['slopes_us']})", flush=True)
 
