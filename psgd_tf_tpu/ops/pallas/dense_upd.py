@@ -121,6 +121,9 @@ def _call(q, v, h, g, step, tiny, interpret, with_apply):
         in_specs=[vm(), vm(), vm(), vm(),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=tuple(vm() for _ in out_shape),
+        # Q -> Q' in place (the dense_big r5 scan-carry-copy finding;
+        # whole-array VMEM blocks make the alias unconditionally safe)
+        input_output_aliases={0: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(qp, pad_v, pad_h, pad_g, s)

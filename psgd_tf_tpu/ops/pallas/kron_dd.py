@@ -226,6 +226,11 @@ def fused_update(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
+        # factors rewritten in place: otherwise XLA copies both new
+        # factors into a training loop's scan carry every step (the
+        # dense_big r5 finding; whole-array VMEM blocks make the alias
+        # unconditionally safe — the kernel's working copies are VMEM)
+        input_output_aliases={0: 0, 1: 1},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(pad_q(ql, mp), pad_q(qr, np_), pad_m(dx), pad_m(dg), s)
@@ -293,6 +298,10 @@ def fused_update_batched(
             jax.ShapeDtypeStruct((B, S, S), ql.dtype),
             jax.ShapeDtypeStruct((B, T, T), qr.dtype),
         ),
+        # stacked factors in place (see fused_update above); alias
+        # indices count the scalar-prefetch operands, so ql/qr are
+        # inputs 2 and 3
+        input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(mn, s, ql, qr, dx, dg)

@@ -399,3 +399,46 @@ def test_comm_model_tp_accounting():
     ok = overlap.comm_model("kron", param_shapes=[(25, 24)],
                             param_specs=[None])
     assert ok["tp_gather_bytes_per_step"] == 0
+
+
+def test_sharded_step_with_stream_splu_state(mesh):
+    """A streaming-layout splu state (SpLUStreamState, r5) under the
+    sharded step: policies cover the new fields and the sharded update
+    falls back through the legacy math on the logical views."""
+    from unittest import mock
+
+    from psgd_tf_tpu import PSGD
+    from psgd_tf_tpu.groups.splu import SpLUStreamState
+    from psgd_tf_tpu.ops.pallas import splu_one
+    from psgd_tf_tpu.parallel import build_sharded_step, policies
+
+    params = [0.3 * jax.random.normal(jax.random.PRNGKey(0), (40, 24))]
+
+    def loss(ws, x):
+        y = jnp.tanh(x @ ws[0].T)
+        return jnp.mean(jnp.sum(y * y, axis=-1))
+
+    opt = PSGD(preconditioner="splu", rank=4, lr_params=0.05,
+               grad_clip_max_norm=1.0)
+    with mock.patch.object(splu_one, "fits", lambda r, n: False):
+        state = opt.init(params, jax.random.PRNGKey(1))
+    assert isinstance(state.precond, SpLUStreamState)
+    sh = policies.state_sharding(mesh, state)
+    assert isinstance(sh.precond, SpLUStreamState)
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 24))
+    step = build_sharded_step(opt, loss, mesh, state, params, donate=False)
+    from functools import partial
+
+    single = jax.jit(partial(opt.step, loss))
+    p, s = params, state
+    p1, s1 = params, state
+    for i in range(3):
+        key = jax.random.PRNGKey(10 + i)
+        p, s, aux = step(p, s, key, x)
+        p1, s1, aux1 = single(p1, s1, key, x)
+    rel = max(
+        float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-30))
+        for a, b in zip(jax.tree_util.tree_leaves(p),
+                        jax.tree_util.tree_leaves(p1)))
+    assert np.isfinite(float(aux["loss"])) and rel < 1e-4, rel
