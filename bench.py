@@ -288,10 +288,15 @@ def _roofline(results: dict, rowname: str, dt: float, gbs: float,
     measured MXU peak) predicts more of the measured time."""
     if not mxu_peak:
         return ""
-    t_hbm = (gbs / law) if law else 0.0           # fraction of dt at law
     pct_mxu = flops / dt / mxu_peak
     results[f"{rowname}_mxu_flops_model"] = flops
     results[f"{rowname}_pct_of_mxu_peak"] = pct_mxu
+    if not law:
+        # row already above the HBM stream laws (VMEM residency or
+        # hot-page reuse): neither roofline binds it
+        results[f"{rowname}_binding"] = "above-law"
+        return f" | MXU {pct_mxu:5.1%}"
+    t_hbm = gbs / law                             # fraction of dt at law
     binding = "MXU" if pct_mxu > t_hbm else "HBM"
     results[f"{rowname}_binding"] = binding
     return f" | MXU {pct_mxu:5.1%} -> {binding}-bound"
