@@ -38,15 +38,19 @@ from psgd_tf_tpu.ops import linalg
 
 Format = Literal["dense", "norm", "scale"]
 
-_SUPPORTED = {
-    ("dense", "dense"),
-    ("norm", "dense"),
-    ("dense", "norm"),
-    ("dense", "scale"),
-    ("scale", "dense"),
-    ("norm", "scale"),
-    ("scale", "norm"),
+# fmt -> (canonical kind, mirrored); mirrors transpose in per
+# ref :86, :102, :104 — the single source for update_multi's and
+# route()'s dispatch (update()'s elif chain must stay in sync)
+_CANON = {
+    ("dense", "dense"): ("dd", False),
+    ("norm", "dense"): ("nd", False),
+    ("dense", "norm"): ("nd", True),
+    ("dense", "scale"): ("ds", False),
+    ("scale", "dense"): ("ds", True),
+    ("norm", "scale"): ("ns", False),
+    ("scale", "norm"): ("ns", True),
 }
+_SUPPORTED = set(_CANON)
 
 
 @flax.struct.dataclass
@@ -316,15 +320,7 @@ def update_multi(
     if not (len(states) == len(dXs) == len(dGs)):
         raise ValueError("states/dXs/dGs length mismatch")
 
-    canon = {  # fmt -> (kind, mirrored) — mirrors per ref :86, :102, :104
-        ("dense", "dense"): ("dd", False),
-        ("norm", "dense"): ("nd", False),
-        ("dense", "norm"): ("nd", True),
-        ("dense", "scale"): ("ds", False),
-        ("scale", "dense"): ("ds", True),
-        ("norm", "scale"): ("ns", False),
-        ("scale", "norm"): ("ns", True),
-    }
+    canon = _CANON
 
     eligible: list[int] = []
     entries: list[tuple] = []  # (kind, mirrored, a, b, dx, dg)
@@ -420,18 +416,9 @@ def route(fmt: tuple[Format, Format], shape: tuple[int, int]) -> str:
     from psgd_tf_tpu.ops import pallas as pallas_ops
     from psgd_tf_tpu.ops.pallas import kron_sparse, kron_sparse_big
 
-    canon = {
-        ("dense", "dense"): ("dd", False),
-        ("norm", "dense"): ("nd", False),
-        ("dense", "norm"): ("nd", True),
-        ("dense", "scale"): ("ds", False),
-        ("scale", "dense"): ("ds", True),
-        ("norm", "scale"): ("ns", False),
-        ("scale", "norm"): ("ns", True),
-    }
-    if tuple(fmt) not in canon:
+    if tuple(fmt) not in _CANON:
         raise ValueError(f"unsupported Kronecker format pair: {fmt}")
-    kind, mirrored = canon[tuple(fmt)]
+    kind, mirrored = _CANON[tuple(fmt)]
     m, n = (shape[1], shape[0]) if mirrored else shape
     if kind == "dd":
         return ("kron_dd" if max(m, n) <= pallas_ops.kron_dd.MAX_SIDE

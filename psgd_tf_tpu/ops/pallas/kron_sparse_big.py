@@ -875,13 +875,17 @@ def _kernel_apply_ns_wide(g_ref, ql0_ref, ql1_ref, gl_ref, r_ref, out_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    # mask ALL row-shaped inputs on partial edge tiles: tile-pad garbage
+    # (undefined on hardware) times a zero is NaN, and a NaN on an
+    # invalid ROW at a valid LANE would poison the resident accumulator
+    ql0 = jnp.where(rowv, ql0_ref[:], 1.0)
     ql1 = jnp.where(rowv, ql1_ref[:], 0.0)
     g = jnp.where(rowv, g_ref[:], 0.0)
-    preg = ql0_ref[:] * g + ql1 * gl_ref[:]
+    preg = ql0 * g + ql1 * gl_ref[:]
     z = preg * r_ref[:]
     lane = pl.dslice(j * lblk, lblk)
     acc_ref[0, lane] += jnp.sum(ql1 * z, axis=0)
-    out_ref[:] = ql0_ref[:] * z + jnp.where(
+    out_ref[:] = ql0 * z + jnp.where(
         rows == m - 1, acc_ref[0, lane][None, :], 0.0)
 
 

@@ -585,6 +585,26 @@ def test_wide_ns_routed_through_group_dispatch(monkeypatch):
     assert calls == [(16, 140000), (16, 140000)]  # mirror transposes in
 
 
+def test_fused_apply_ns_wide_oracle():
+    """The (unrouted) single-pass wide apply kernel vs the XLA chain at
+    a ragged shape (m not a block multiple — exercises the edge-tile
+    row masks that guard the resident accumulator)."""
+    import psgd_tf_tpu.ops.pallas.kron_sparse_big as ksb
+
+    key = jax.random.PRNGKey(3)
+    m, n = 70, 140000   # m % WIDE2_BLK != 0, n % LANE_BLK != 0
+    ql = jnp.stack([
+        0.8 + 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (m,)),
+        0.05 * jax.random.normal(jax.random.fold_in(key, 2), (m,)),
+    ])
+    qr = 0.9 + 0.1 * jax.random.normal(jax.random.fold_in(key, 3), (n,))
+    G = jax.random.normal(jax.random.fold_in(key, 4), (m, n))
+    got = ksb.fused_apply_ns_wide(ql, qr, G, interpret=True)
+    ref = kron._apply_ns(ql, qr, G)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_wide_ns_xla_fallback_beyond_wide2_cap(monkeypatch):
     """Scale sides past WIDE2_MAX_LANES must ride the retained XLA-sweep
     wide path and still match the oracle (the single-pass kernel's

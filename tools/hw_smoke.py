@@ -127,6 +127,11 @@ def check_kron():
         # takes over beyond MAX_LANES)
         ("norm", "scale", "cap1d"): (512, 131072),
         ("norm", "scale", "wide"): (128, 1_000_000),
+        # the single-pass wide kernel at its LARGEST routed lane count
+        # (WIDE2_MAX_LANES): its resident full-width accumulators scale
+        # with lanes, exactly the scoped-VMEM class interpret tests
+        # cannot see
+        ("norm", "scale", "wide_cap"): (32, 2_000_000),
         # past WIDE2_MAX_LANES: the retained XLA-sweep wide path (the
         # single-pass kernel's resident accumulators exceed scoped VMEM)
         ("norm", "scale", "wide_xla"): (48, 3_000_000),

@@ -335,6 +335,7 @@ def main() -> None:
             log.seek(0)
             texts.append(log.read())
             log.close()
+            os.unlink(log.name)  # contents echoed below; don't leak /tmp files
         for i, text in enumerate(texts):
             sys.stdout.write(text if text.endswith("\n") or not text
                              else text + "\n")

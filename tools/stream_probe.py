@@ -68,18 +68,6 @@ def _kernel_copy(*refs, k):
         o[:] = r[:] + c
 
 
-def _kernel_inplace(*refs, k):
-    """k buffers rewritten IN PLACE (input_output_aliases): the
-    operating point of the r5 aliased state-rewrite kernels. Writes land
-    on the DRAM rows just read, so this can exceed the out-of-place
-    read+write law."""
-    c_ref, ins = refs[0], refs[1:k + 1]
-    outs = refs[k + 1:]
-    c = c_ref[0, 0] * 1e-20
-    for r, o in zip(ins, outs):
-        o[:] = r[:] + c
-
-
 def _build(k: int, rows: int, copy: bool = False):
     spec = pl.BlockSpec((BLK_ROWS, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -89,8 +77,10 @@ def _build(k: int, rows: int, copy: bool = False):
         out_shape = tuple(
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
             for _ in range(k))
-        kern = functools.partial(
-            _kernel_inplace if copy == "inplace" else _kernel_copy, k=k)
+        # the "inplace" arm is the same copy kernel with the buffers
+        # aliased (the r5 aliased state-rewrite operating point: writes
+        # land on the DRAM rows just read)
+        kern = functools.partial(_kernel_copy, k=k)
         aliases = {i + 1: i for i in range(k)} if copy == "inplace" else {}
     else:
         out_specs = crow
